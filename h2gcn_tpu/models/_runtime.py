@@ -1,0 +1,242 @@
+"""Shared training runtime for DSL-based models.
+
+Builds the fully-jitted train/eval step functions for a
+:class:`~h2gcn_tpu.nn.model.NetworkModel` and wires the reference's
+callback-based epoch protocol (step closures in ``args.objects``, post-epoch
+checkpoint/early-stop/best-val bookkeeping, post-train best restore +
+results.json). Reference behavior: h2gcn/models/H2GCN.py:57-206.
+
+TPU-first differences from the reference:
+  * the entire train step — forward, masked loss + L2, backward, Adam — is
+    ONE compiled XLA program, and the eval step another (the reference runs
+    every layer eagerly, reference run_experiments.py:5);
+  * "checkpoint every epoch" becomes "keep the best (params, opt_state)
+    pytree in device memory" by default — functionally identical to the
+    reference's save-every/restore-best cycle at zero IO cost; pass
+    ``--ckpt_every_epoch`` for on-disk snapshots of every epoch.
+"""
+
+from __future__ import annotations
+
+import json
+import operator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..modules import controller, logger, monitor
+from ..nn.metrics import masked_accuracy, masked_softmax_cross_entropy
+
+# keras Adam uses epsilon=1e-7 (optax default is 1e-8); keep keras semantics
+# so training trajectories match the reference.
+_OPTIMIZERS = {
+    "adam": lambda lr: optax.adam(lr, eps=1e-7),
+    "sgd": lambda lr: optax.sgd(lr),
+    "rmsprop": lambda lr: optax.rmsprop(lr, eps=1e-7),
+    "adagrad": lambda lr: optax.adagrad(lr, eps=1e-7),
+}
+
+
+def get_optimizer(name: str, lr: float):
+    try:
+        return _OPTIMIZERS[name.lower()](lr)
+    except KeyError:
+        raise ValueError(
+            f"Unknown optimizer {name!r}; choose from {sorted(_OPTIMIZERS)}"
+        )
+
+
+def initialize_model(args, model, optimizer_name, lr, early_stopping,
+                     seed=None):
+    """Build params/optimizer and register step fns + callbacks in args.objects."""
+    tensors = args.objects["tensors"]
+    dataset = args.objects["dataset"]
+    adj_hops = tensors.get("adj_hops", [])
+    num_hops = (len(adj_hops) if isinstance(adj_hops, (list, tuple))
+                else adj_hops.shape[1]) or 1
+    seed = seed if seed is not None else getattr(args, "random_seed", 123) or 123
+
+    params = model.init(
+        jax.random.PRNGKey(seed), dataset.feature_dim, num_hops
+    )
+    tx = get_optimizer(optimizer_name, lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def _train(params, opt_state, rng, adj, adj_hops, features, y_train,
+               train_mask):
+        def loss_fn(p):
+            logits = model.apply(
+                p, adj, features, adj_hops, training=True, rng=rng
+            )
+            return model.loss(p, logits, y_train, train_mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_opt_state, loss, grads
+
+    @jax.jit
+    def _eval(params, adj, adj_hops, features, y_train, train_mask, y_val,
+              val_mask, y_test, test_mask):
+        logits = model.apply(params, adj, features, adj_hops, training=False)
+        return logits, dict(
+            train_acc=masked_accuracy(logits, y_train, train_mask),
+            val_acc=masked_accuracy(logits, y_val, val_mask),
+            test_accuracy=masked_accuracy(logits, y_test, test_mask),
+            val_loss=model.loss(params, logits, y_val, val_mask),
+            test_loss=masked_softmax_cross_entropy(logits, y_test, test_mask),
+        )
+
+    state = {"params": params, "opt_state": opt_state}
+    args.objects["state"] = state
+    args.objects["model"] = model
+    args.objects["optimizer"] = tx
+    rng_base = jax.random.PRNGKey(seed + 1)
+
+    def train_step(adj, adj_hops, features, y_train, train_mask, **kwargs):
+        st = args.objects["state"]
+        rng = jax.random.fold_in(rng_base, args.current_epoch)
+        new_params, new_opt_state, loss, grads = _train(
+            st["params"], st["opt_state"], rng, adj, adj_hops, features,
+            y_train, train_mask,
+        )
+        if args.grad_monitor:
+            monitor.grad_monitor(st["params"], grads)
+        args.objects["state"] = {"params": new_params, "opt_state": new_opt_state}
+        return dict(train_loss=loss)
+
+    def test_step(adj, adj_hops, features, y_train, train_mask, y_val,
+                  val_mask, y_test, test_mask, verbose=None,
+                  save_activations=False, save_predictions=False, **kwargs):
+        if verbose is None:
+            verbose = args.verbose
+        st = args.objects["state"]
+        logits, stats = _eval(
+            st["params"], adj, adj_hops, features, y_train, train_mask,
+            y_val, val_mask, y_test, test_mask,
+        )
+        stats = dict(stats)
+        stats["monitor"] = dict()
+
+        if args.use_signac:
+            job = args.objects["signac_job"]
+            if save_activations:
+                print("Saving activations to job data storage:")
+                capture = {}
+                model.apply(st["params"], adj, features, adj_hops,
+                            training=False, capture=capture)
+                for key, value in capture.items():
+                    job.data[key] = np.asarray(value)
+                print(job.workspace())
+            if save_predictions:
+                job.data["predicted_prob"] = np.asarray(logits)
+                for scope, scope_mask in (
+                    ("train", train_mask), ("val", val_mask), ("test", test_mask)
+                ):
+                    job.data[f"{scope}_mask"] = np.asarray(scope_mask)
+
+        if args.deg_acc_monitor and verbose:
+            for scope, y_scope, scope_mask in (
+                ("train", y_train, train_mask),
+                ("val", y_val, val_mask),
+                ("test", y_test, test_mask),
+            ):
+                monitor.deg_acc_monitor(args, args.deg_acc_monitor, adj, logits,
+                                        y_scope, scope_mask, scope,
+                                        stats["monitor"])
+        return stats
+
+    def predict_step(adj, adj_hops, features, **kwargs):
+        st = args.objects["state"]
+        return model.apply(st["params"], adj, features, adj_hops, training=False)
+
+    def embed_step(adj, adj_hops, features, **kwargs):
+        st = args.objects["state"]
+        return model.get_embeddings(st["params"], adj, features, adj_hops)
+
+    stats_printer = logger.EpochStatsPrinter()
+    args.objects["statsPrinter"] = stats_printer
+    args.objects["best_val_stats"] = None
+    args.objects["current_ckpt"] = None
+    args.objects["early_stopping"] = controller.SlidingMeanEarlyStopping(
+        early_stopping
+    )
+
+    def post_epoch_callback(epoch, args):
+        epoch_stats = args.objects["epoch_stats"]
+        stats_printer(epoch, epoch_stats)
+
+        if args.objects["early_stopping"](epoch_stats["val_loss"]):
+            print("Early stopping...")
+            args.epochs = epoch
+
+        every_epoch = getattr(args, "_ckpt_every_epoch", False)
+        if every_epoch:
+            current_ckpt = args.objects["current_ckpt"]
+            best = args.objects["best_val_stats"]
+            if (current_ckpt is not None and best is not None
+                    and current_ckpt != best.get("ckpt")):
+                logger.remove_ckpt(args, current_ckpt)
+            args.objects["current_ckpt"] = logger.save_ckpt(
+                args.objects["state"], args, epoch, epoch_stats
+            )
+
+        op = operator.ge if args.best_val_criteria == "val_acc" else operator.le
+        best = args.objects["best_val_stats"]
+        if best is None or op(
+            float(epoch_stats[args.best_val_criteria]),
+            float(best[args.best_val_criteria]),
+        ):
+            if every_epoch and best is not None:
+                logger.remove_ckpt(args, best.get("ckpt"))
+            new_best = dict(epoch_stats)
+            new_best["epoch"] = epoch
+            new_best["ckpt"] = args.objects["current_ckpt"]
+            args.objects["best_val_stats"] = new_best
+            # Params are immutable pytrees: holding the reference IS the
+            # checkpoint (no copy, no IO).
+            args.objects["best_state"] = args.objects["state"]
+
+    def post_train_callback(args):
+        best = args.objects["best_val_stats"]
+        if (not args.verbose) or args.save_activations or args.save_predictions:
+            print("Restoring the best performance model")
+            if getattr(args, "_ckpt_every_epoch", False) and best.get("ckpt"):
+                args.objects["state"] = logger.restore_ckpt(
+                    args.objects["state"], args, best["ckpt"]
+                )
+            else:
+                args.objects["state"] = args.objects["best_state"]
+            epoch_stats = test_step(
+                **args.objects["tensors"], verbose=True,
+                save_activations=args.save_activations,
+                save_predictions=args.save_predictions,
+            )
+            best["monitor"] = epoch_stats["monitor"]
+        # Always persist the final best state to disk once.
+        final_name = logger.save_ckpt(
+            args.objects["state"], args, best["epoch"], best
+        )
+        best.setdefault("ckpt", final_name)
+        print("Best performance:")
+        stats_printer.from_dict(best)
+        if args.use_signac:
+            job = args.objects["signac_job"]
+            record = {}
+            for key, item in best.items():
+                if isinstance(item, (jnp.ndarray, np.ndarray)):
+                    record[key] = np.asarray(item).item()
+                else:
+                    record[key] = item
+            with open(job.fn("results.json"), "w") as f:
+                json.dump(record, f, default=str)
+
+    args.objects["train_step"] = train_step
+    args.objects["test_step"] = test_step
+    args.objects["predict_step"] = predict_step
+    args.objects["embed_step"] = embed_step
+    args.objects["post_epoch_callbacks"].append(post_epoch_callback)
+    args.objects["post_train_callbacks"].append(post_train_callback)

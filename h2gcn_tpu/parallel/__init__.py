@@ -1,0 +1,13 @@
+"""Multi-chip execution: mesh construction, distributed SpMM, sharded training.
+
+The reference has no distributed execution of any kind (SURVEY.md §2,
+parallelism table) — this layer is greenfield TPU design: the graph is
+node/edge-partitioned over a 1-D named mesh, activations are node-sharded,
+parameters replicated, and aggregation exchanges boundary features with XLA
+collectives inside ``shard_map``.
+"""
+
+from .dist import DistSparseMatrix, dist_spmm, shard_matrix
+from .mesh import make_mesh
+
+__all__ = ["DistSparseMatrix", "dist_spmm", "shard_matrix", "make_mesh"]

@@ -1,0 +1,157 @@
+"""Distributed SpMM: edge-partitioned aggregation under ``shard_map``.
+
+Partitioning scheme (the TPU replacement for the reference's single-device
+``tf.sparse.sparse_dense_matmul``, SURVEY.md §2 parallelism table):
+
+* nodes are padded to ``n_pad = D · n_local`` and row-sharded: device ``d``
+  owns rows ``[d·n_local, (d+1)·n_local)`` of every matrix and the matching
+  slice of the feature/activation arrays;
+* each device owns ALL edges targeting its rows (a 1-D edge partition by
+  destination), stored as padded COO with local row ids and global col ids;
+* aggregation all-gathers the node features over the mesh axis (ICI ring)
+  and reduces locally — the transpose (backward) is automatically a
+  ``psum_scatter``, so gradients route back to the owning shard without any
+  hand-written collective.
+
+``dist_spmm`` is what :meth:`NetworkModel.apply` dispatches to when a hop
+matrix is a :class:`DistSparseMatrix`, so the same model code runs single-
+and multi-chip.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .mesh import GRAPH_AXIS
+
+_EDGE_BUCKET = 1024
+
+
+@struct.dataclass
+class DistSparseMatrix:
+    """Row-sharded sparse matrix, as seen INSIDE a shard_map body.
+
+    ``rows`` are local (0..n_local-1); ``cols`` are global (0..n_global-1).
+    The leading device axis has already been consumed by shard_map.
+    """
+
+    rows: jax.Array  # [E_pad] int32 local destination rows, sorted
+    cols: jax.Array  # [E_pad] int32 global source columns
+    vals: jax.Array  # [E_pad] float32
+    n_local: int = struct.field(pytree_node=False)
+    n_global: int = struct.field(pytree_node=False)
+    axis: str = struct.field(pytree_node=False, default=GRAPH_AXIS)
+
+
+@struct.dataclass
+class ShardedMatrix:
+    """Host-side container: per-device edge arrays with a leading device axis.
+
+    Pass through shard_map with ``P(axis)`` on the leading axis, then call
+    :meth:`local` inside the body.
+    """
+
+    rows: jax.Array  # [D, E_pad]
+    cols: jax.Array  # [D, E_pad]
+    vals: jax.Array  # [D, E_pad]
+    n_local: int = struct.field(pytree_node=False)
+    n_global: int = struct.field(pytree_node=False)
+    axis: str = struct.field(pytree_node=False, default=GRAPH_AXIS)
+
+    def local(self) -> DistSparseMatrix:
+        return DistSparseMatrix(
+            rows=self.rows[0],
+            cols=self.cols[0],
+            vals=self.vals[0],
+            n_local=self.n_local,
+            n_global=self.n_global,
+            axis=self.axis,
+        )
+
+
+def shard_matrix(
+    mat, num_shards: int, axis: str = GRAPH_AXIS
+) -> Tuple[ShardedMatrix, int]:
+    """Row-partition a scipy square matrix into ``num_shards`` edge shards.
+
+    Returns (sharded matrix, n_pad). Every shard's edge list is padded to the
+    same static size (in-bounds no-op entries), keeping shapes uniform across
+    devices.
+    """
+    import scipy.sparse as sp
+
+    csr = sp.csr_matrix(mat).astype(np.float32)
+    n = csr.shape[0]
+    n_local = -(-n // num_shards)
+    n_pad = n_local * num_shards
+
+    shards = []
+    max_e = 1
+    for d in range(num_shards):
+        lo, hi = d * n_local, min((d + 1) * n_local, n)
+        block = csr[lo:hi].tocoo() if lo < n else sp.coo_matrix((0, n))
+        shards.append(block)
+        max_e = max(max_e, block.nnz)
+    e_pad = int(math.ceil(max_e / _EDGE_BUCKET)) * _EDGE_BUCKET
+
+    rows = np.full((num_shards, e_pad), n_local - 1, dtype=np.int32)
+    cols = np.full((num_shards, e_pad), 0, dtype=np.int32)
+    vals = np.zeros((num_shards, e_pad), dtype=np.float32)
+    for d, block in enumerate(shards):
+        order = np.lexsort((block.col, block.row))
+        e = block.nnz
+        rows[d, :e] = block.row[order]
+        cols[d, :e] = block.col[order]
+        vals[d, :e] = block.data[order]
+
+    return (
+        ShardedMatrix(
+            rows=jnp.asarray(rows),
+            cols=jnp.asarray(cols),
+            vals=jnp.asarray(vals),
+            n_local=n_local,
+            n_global=n_pad,
+            axis=axis,
+        ),
+        n_pad,
+    )
+
+
+def dist_spmm(dsm: DistSparseMatrix, x_local: jax.Array) -> jax.Array:
+    """``A @ x`` over the mesh: all-gather features, reduce local edges.
+
+    ``x_local``: [n_local, F] (this device's node shard). Returns the local
+    output shard [n_local, F]. The all_gather rides the ICI ring; XLA
+    overlaps it with independent work where possible. Backward pass:
+    transpose(all_gather) = psum_scatter — contributions to remote nodes
+    flow back to their owners automatically.
+    """
+    x_global = jax.lax.all_gather(x_local, dsm.axis, axis=0, tiled=True)
+    gathered = x_global[dsm.cols] * dsm.vals[:, None].astype(x_local.dtype)
+    return jax.ops.segment_sum(
+        gathered, dsm.rows, num_segments=dsm.n_local, indices_are_sorted=True
+    )
+
+
+def pad_nodes(arr: np.ndarray, n_pad: int) -> np.ndarray:
+    """Zero-pad the leading (node) axis to ``n_pad``."""
+    if arr.shape[0] == n_pad:
+        return arr
+    pad_width = [(0, n_pad - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
+    return np.pad(arr, pad_width)
+
+
+def shard_hops(mats: List, num_shards: int, axis: str = GRAPH_AXIS):
+    """Shard a list of hop matrices; returns (list of ShardedMatrix, n_pad)."""
+    out = []
+    n_pad = None
+    for m in mats:
+        sm, n_pad = shard_matrix(m, num_shards, axis)
+        out.append(sm)
+    return out, n_pad

@@ -1,0 +1,125 @@
+"""Distributed full-graph training step.
+
+Builds a jitted, shard_mapped train/eval step for a
+:class:`~h2gcn_tpu.nn.model.NetworkModel`: node-sharded activations
+(``P(axis)``), replicated parameters (``P()``), edge-partitioned hop
+matrices, all-gather halo exchange inside the aggregation, and psum'd loss /
+metrics / gradients. Optimizer updates are computed redundantly on every
+device (parameters stay replicated — the cheap choice for GNN-sized models).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import PartitionSpec as P
+
+from ..nn.model import NetworkModel
+from .dist import ShardedMatrix
+from .mesh import GRAPH_AXIS
+
+
+def _ce_rows(logits, labels):
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    return jnp.sum(labels, axis=-1) * logz - jnp.sum(labels * logits, axis=-1)
+
+
+def _psum(x, axis):
+    return jax.lax.psum(x, axis)
+
+
+def masked_ce_dist(logits, labels, mask, axis):
+    m = mask.astype(jnp.float32)
+    m = m / _psum(jnp.sum(m), axis)
+    return _psum(jnp.sum(_ce_rows(logits, labels) * m), axis)
+
+
+def masked_acc_dist(logits, labels, mask, axis):
+    m = mask.astype(jnp.float32)
+    m = m / _psum(jnp.sum(m), axis)
+    correct = (jnp.argmax(logits, 1) == jnp.argmax(labels, 1)).astype(jnp.float32)
+    return _psum(jnp.sum(correct * m), axis)
+
+
+def build_dist_steps(
+    model: NetworkModel,
+    tx: optax.GradientTransformation,
+    mesh: jax.sharding.Mesh,
+    hop_shards: List[ShardedMatrix],
+    axis: str = GRAPH_AXIS,
+):
+    """Returns (train_step, eval_step), both jitted over the mesh.
+
+    train_step(params, opt_state, rng, x, y_train, train_mask)
+        -> (params, opt_state, loss)
+    eval_step(params, x, y, mask) -> dict(acc=..., loss=...)
+    with x/y/mask node-sharded on the leading axis and params replicated.
+    """
+    n_hops = len(hop_shards)
+    hop_specs = tuple(
+        jax.tree_util.tree_map(lambda _: P(axis), h) for h in hop_shards
+    )
+
+    num_devices = mesh.shape[axis]
+
+    def _local_train(params, opt_state, rng, x, y, mask, *hops):
+        hops_local = [h.local() for h in hops]
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+
+        def partial_loss(p):
+            # Per-device PARTIAL loss: local CE share (globally-normalized
+            # mask) + 1/D of the L2 term. psum of the value gives the global
+            # loss; psum of the grad gives the exact global gradient —
+            # including contributions routed back through the all-gather's
+            # psum_scatter transpose.
+            logits = model.apply(
+                p, hops_local[0], x, hops_local, training=True, rng=rng
+            )
+            m = mask.astype(jnp.float32)
+            m = m / _psum(jnp.sum(m), axis)
+            ce = jnp.sum(_ce_rows(logits, y) * m)
+            return ce + model.l2_loss(p) / num_devices
+
+        partial, grads = jax.value_and_grad(partial_loss)(params)
+        loss = _psum(partial, axis)
+        grads = jax.lax.psum(grads, axis)
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_opt_state, loss
+
+    def _local_eval(params, x, y, mask, *hops):
+        hops_local = [h.local() for h in hops]
+        logits = model.apply(params, hops_local[0], x, hops_local, training=False)
+        return dict(
+            acc=masked_acc_dist(logits, y, mask, axis),
+            loss=masked_ce_dist(logits, y, mask, axis),
+        )
+
+    train_shard = jax.shard_map(
+        _local_train,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis), P(axis), P(axis)) + hop_specs,
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    eval_shard = jax.shard_map(
+        _local_eval,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis)) + hop_specs,
+        out_specs=P(),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def train_step(params, opt_state, rng, x, y, mask):
+        return train_shard(params, opt_state, rng, x, y, mask, *hop_shards)
+
+    @jax.jit
+    def eval_step(params, x, y, mask):
+        return eval_shard(params, x, y, mask, *hop_shards)
+
+    return train_step, eval_step

@@ -1,0 +1,137 @@
+"""Host-side graph transforms (scipy), matching reference semantics exactly.
+
+These mirror the preprocessing toolkit of the reference data layer
+(reference: h2gcn/datasets/_dataset.py:33-158 ``TransformAdj``/``TransformSPAdj``
+and :744-771 ``chebyshev_polynomials``): symmetric / random-walk
+normalization with inf→0 degree guard, diagonal add/remove, the exact-k-hop
+neighborhood split used by H2GCN (Âₖ = 1[(A+I)ᵏ>0] − 1[(A+I)ᵏ⁻¹>0]), and
+Chebyshev polynomial supports for GCN-Cheby.
+
+Everything here runs once per dataset on the host; the results are shipped to
+the device as :class:`~h2gcn_tpu.sparse.matrix.SparseMatrix` objects with
+static shapes. For large graphs the boolean spgemm inside ``nhood_split`` is
+the hot spot — see :mod:`h2gcn_tpu.native` for the C++ fast path.
+"""
+
+from __future__ import annotations
+
+from enum import Enum
+from typing import List
+
+import numpy as np
+import scipy.sparse as sp
+
+
+class NType(Enum):
+    ORDINARY = 0
+    SYM_NORMALIZED = 1
+    RW_NORMALIZED = 2
+    CHEBY = 3
+
+
+def normalize(adj: sp.spmatrix, ntype: NType = NType.SYM_NORMALIZED) -> sp.spmatrix:
+    """D^{-1/2} A D^{-1/2} (SYM) or D^{-1} A (RW), zero-degree guarded.
+
+    Reference: h2gcn/datasets/_dataset.py:109-124.
+    """
+    if ntype == NType.ORDINARY:
+        return adj
+    deg = np.asarray(adj.sum(axis=1)).ravel()
+    with np.errstate(divide="ignore"):
+        if ntype == NType.SYM_NORMALIZED:
+            d = np.power(deg, -0.5)
+            d[np.isinf(d)] = 0.0
+            D = sp.diags(d)
+            return D @ adj @ D
+        elif ntype == NType.RW_NORMALIZED:
+            d = np.power(deg, -1.0)
+            d[np.isinf(d)] = 0.0
+            return sp.diags(d) @ adj
+    raise ValueError(f"Unsupported normalization {ntype}")
+
+
+def add_eye(adj: sp.spmatrix) -> sp.csr_matrix:
+    """Set the diagonal to 1 (reference: _dataset.py:126-130)."""
+    out = adj.tolil(copy=True)
+    out.setdiag(1)
+    return out.tocsr()
+
+
+def remove_eye(adj: sp.spmatrix) -> sp.csr_matrix:
+    """Zero the diagonal (reference: _dataset.py:132-136)."""
+    out = adj.tolil(copy=True)
+    out.setdiag(0)
+    out = out.tocsr()
+    out.eliminate_zeros()
+    return out
+
+
+def nhood_split(adj: sp.spmatrix, nhood: int) -> List[sp.spmatrix]:
+    """Exact-hop reachability split ``[I, A₁ᵉˣ, A₂ᵉˣ, ...]``.
+
+    ``A_kᵉˣ[i,j] = 1`` iff the shortest path between i and j (allowing the
+    self loop added each round) is exactly k. Terminates early when the
+    reachable set stops growing. Reference: h2gcn/datasets/_dataset.py:138-158.
+    """
+    assert adj.ndim == 2 and adj.shape[0] == adj.shape[1]
+    if isinstance(nhood, float) and np.isnan(nhood):
+        return [sp.csr_matrix(np.ones(adj.shape))]
+    n = adj.shape[0]
+    a_plus_i = (adj + sp.eye(n, format="csr")).tocsr()
+    mt = sp.eye(n, format="csr")
+    out = [mt]
+    edge_sum = 0
+    i = 0
+    while i < nhood:
+        prev = mt
+        mt = mt @ a_plus_i
+        mt = (mt > 0).astype(adj.dtype)
+        new_edge_sum = mt.sum()
+        if new_edge_sum == edge_sum:
+            break
+        edge_sum = new_edge_sum
+        i += 1
+        diff = (mt - prev).tocsr()
+        diff.eliminate_zeros()
+        out.append(diff)
+    return out
+
+
+def row_normalize(features: sp.spmatrix):
+    """Row-normalize a (sparse) feature matrix; zero rows stay zero.
+
+    Reference: h2gcn/datasets/_dataset.py:502-509.
+    """
+    rowsum = np.asarray(features.sum(axis=1)).ravel()
+    with np.errstate(divide="ignore"):
+        inv = np.power(rowsum, -1.0)
+    inv[np.isinf(inv)] = 0.0
+    return sp.diags(inv) @ features
+
+
+def chebyshev_polynomials(
+    adj: sp.spmatrix, k: int, eigenvalue=None
+) -> List[sp.spmatrix]:
+    """Chebyshev polynomial supports T_0..T_k of the scaled Laplacian.
+
+    ``eigenvalue=None`` computes the largest Laplacian eigenvalue with ARPACK;
+    pass ``2`` for the fixed-eigenvalue variant the reference exposes.
+    Reference: h2gcn/datasets/_dataset.py:744-771 and
+    baselines/gcn/gcn/utils.py:82-107.
+    """
+    n = adj.shape[0]
+    adj_normalized = normalize(sp.csr_matrix(adj), NType.SYM_NORMALIZED)
+    laplacian = sp.eye(n) - adj_normalized
+    if eigenvalue is None:
+        from scipy.sparse.linalg import eigsh
+
+        largest, _ = eigsh(laplacian, 1, which="LM")
+        largest = largest[0]
+    else:
+        largest = eigenvalue
+    scaled_lap = (2.0 / largest) * laplacian - sp.eye(n)
+
+    t_k = [sp.eye(n).tocsr(), sp.csr_matrix(scaled_lap)]
+    for _ in range(2, k + 1):
+        t_k.append(2 * scaled_lap @ t_k[-1] - t_k[-2])
+    return t_k

@@ -1,0 +1,97 @@
+"""Planetoid loader invariants (reference _dataset.py loading semantics)."""
+
+import numpy as np
+import pytest
+
+from h2gcn_tpu.datasets._dataset import PlanetoidData, graph_dict_to_adj
+
+
+@pytest.fixture(scope="module")
+def cora(planetoid_path):
+    return PlanetoidData("ind.cora", planetoid_path, val_size=500)
+
+
+def test_cora_shapes(cora):
+    assert cora.num_samples == 2708
+    assert cora.feature_dim == 1433
+    assert cora.num_labels == 7
+    assert cora.sparse_adj.shape == (2708, 2708)
+
+
+def test_cora_splits(cora):
+    assert cora.train_mask.sum() == 140
+    assert cora.val_mask.sum() == 500
+    assert cora.test_mask.sum() == 1000
+    # canonical planetoid layout: train first, then val directly after
+    assert cora.train_mask[:140].all()
+    assert cora.val_mask[140:640].all()
+    # masks disjoint
+    assert not (cora.train_mask & cora.val_mask).any()
+    assert not (cora.train_mask & cora.test_mask).any()
+    # y_* zero outside masks
+    assert cora.y_train[~cora.train_mask].sum() == 0
+    assert (cora.y_train.sum(1)[cora.train_mask] == 1).all()
+
+
+def test_cora_adj_symmetric_binary(cora):
+    A = cora.sparse_adj
+    assert (A != A.T).nnz == 0
+    assert set(np.unique(A.data)) == {1.0}
+
+
+def test_citeseer_patch(planetoid_path):
+    ds = PlanetoidData("ind.citeseer", planetoid_path, val_size=500)
+    assert ds.num_samples == 3327
+    # citeseer has isolated test nodes: patch marks them non-valid
+    assert len(ds._non_valid_samples) > 0
+    for n_i in ds._non_valid_samples:
+        assert not ds.train_mask[n_i]
+        assert not ds.val_mask[n_i]
+        assert not ds.test_mask[n_i]
+        assert not ds.wild_mask[n_i]
+    # labels property returns -1 for unlabeled nodes
+    labels = ds.labels
+    assert (labels == -1).sum() == (ds.y_all.sum(1) == 0).sum()
+
+
+def test_graph_dict_to_adj():
+    g = {0: [1, 2], 1: [0], 2: [], 3: [3]}
+    A = graph_dict_to_adj(g).toarray()
+    expect = np.zeros((4, 4), np.float32)
+    expect[0, 1] = expect[1, 0] = 1
+    expect[0, 2] = expect[2, 0] = 1
+    expect[3, 3] = 1  # self-listed node keeps a diagonal 1
+    np.testing.assert_allclose(A, expect)
+
+
+def test_get_tensors_hops(cora):
+    cora.reload_data()
+    cora.row_normalize_features()
+    cora.adj_remove_eye()
+    t = cora.get_tensors(get_adj_norm_hops=["1", "2"], backend="segment")
+    assert len(t.adj_hops) == 2
+    a1 = t.adj_hops[0].to_scipy()
+    a2 = t.adj_hops[1].to_scipy()
+    # hop-1 is sym-normalized self-loop-free adjacency: diag == 0
+    assert a1.diagonal().sum() == 0
+    assert a2.diagonal().sum() == 0
+    # exact-2-hop shares no edges with 1-hop
+    assert (a1.multiply(a2)).nnz == 0
+    # features row-normalized
+    f = np.asarray(t.features)
+    sums = f.sum(1)
+    assert np.allclose(sums[sums > 0.01], 1.0, atol=1e-5)
+
+
+def test_feature_configs(cora):
+    cora.reload_data()
+    n = cora.num_samples
+    cora.set_identity_features()
+    assert cora.features.shape == (n, n)
+    assert cora.features.diagonal().sum() == n
+    cora.reload_data()
+    cora.set_label_one_hot_features()
+    feats = np.asarray(cora.features.todense())
+    assert feats[cora.train_mask].sum() == cora.train_mask.sum()
+    assert feats[~cora.train_mask].sum() == 0
+    cora.reload_data()

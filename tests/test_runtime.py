@@ -1,0 +1,107 @@
+"""Runtime modules: early stopping, run store, checkpoint IO, e2e training."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from h2gcn_tpu.modules import checkpoint as ckpt_io
+from h2gcn_tpu.modules.controller import SlidingMeanEarlyStopping
+from h2gcn_tpu.modules.runstore import get_project
+
+
+def test_sliding_mean_early_stopping():
+    es = SlidingMeanEarlyStopping(3)
+    assert not es(1.0) and not es(1.0) and not es(1.0)
+    assert not es(0.9)  # below mean → continue
+    assert es(2.0)      # above sliding mean → stop
+    es_disabled = SlidingMeanEarlyStopping(0)
+    assert not any(es_disabled(v) for v in [1, 2, 3, 4, 5])
+
+
+def test_sliding_mean_incremental():
+    es = SlidingMeanEarlyStopping(2)
+    es(4.0)
+    es(2.0)
+    # window [4,2] mean 3; 2.5 < 3 → continue, window becomes [2, 2.5]
+    assert not es(2.5)
+    # 2.3 > mean(2, 2.5)=2.25 → stop
+    assert es(2.3)
+
+
+def test_runstore_roundtrip(tmp_path):
+    proj = get_project(str(tmp_path))
+    job = proj.open_job({"model": "H2GCN", "lr": 0.01}).init()
+    job.doc["succeeded"] = True
+    job.data["acts/layer0"] = np.arange(6.0).reshape(2, 3)
+    job2 = proj.open_job({"model": "H2GCN", "lr": 0.01})
+    assert job2.id == job.id
+    assert job2.doc["succeeded"] is True
+    np.testing.assert_allclose(job2.data["acts/layer0"], np.arange(6.0).reshape(2, 3))
+    assert proj.open_job({"model": "H2GCN", "lr": 0.02}).id != job.id
+    found = list(proj.find_jobs({"lr": 0.01}))
+    assert len(found) == 1 and found[0].id == job.id
+    assert "acts/layer0" in set(job2.data.keys())
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tree = {"params": [{"kernel": jnp.arange(6.0).reshape(2, 3)}, {}],
+            "step": jnp.asarray(3)}
+    path = tmp_path / "ck" / "state.npz"
+    ckpt_io.save_pytree(path, tree)
+    like = jax.tree_util.tree_map(jnp.zeros_like, tree)
+    restored = ckpt_io.load_pytree(path, like)
+    np.testing.assert_allclose(
+        np.asarray(restored["params"][0]["kernel"]),
+        np.arange(6.0).reshape(2, 3),
+    )
+    assert int(restored["step"]) == 3
+
+
+@pytest.mark.slow
+def test_e2e_training_cora(planetoid_path, tmp_path):
+    """Full CLI path: H2GCN-2 on Cora must exceed 75% test accuracy fast."""
+    from h2gcn_tpu.run_experiments import main
+
+    args = main([
+        "H2GCN", "planetoid",
+        "--dataset", "ind.cora",
+        "--dataset_path", planetoid_path,
+        "--epochs", "60",
+        "--checkpoint_dir", str(tmp_path / "ckpt" / "{model}_{dataset}_{runname}"),
+        "--use_signac", "--signac_root", str(tmp_path / "store"),
+        "--save_activations",
+    ])
+    best = args.objects["best_val_stats"]
+    assert float(best["test_accuracy"]) > 0.75
+    job = args.objects["signac_job"]
+    results = json.load(open(job.fn("results.json")))
+    assert results["test_accuracy"] > 0.75
+    # activation dump exists (the de-facto golden-output mechanism)
+    keys = set(job.data.keys())
+    assert "predicted_prob" in keys
+    assert any(k.startswith("activations/") for k in keys)
+    # final best checkpoint written
+    ckpt_root = job.workspace() + "/checkpoints"
+    assert any(
+        f.endswith("ckpt.npz")
+        for _, _, files in os.walk(ckpt_root) for f in files
+    )
+
+
+@pytest.mark.slow
+def test_e2e_mlp(planetoid_path, tmp_path):
+    from h2gcn_tpu.run_experiments import main
+
+    args = main([
+        "H2GCN", "planetoid",
+        "--dataset", "ind.cora",
+        "--dataset_path", planetoid_path,
+        "--network_setup", "M64-R-D0.5-MO",
+        "--epochs", "40",
+        "--checkpoint_dir", str(tmp_path / "ckpt" / "{model}_{dataset}_{runname}"),
+    ])
+    assert float(args.objects["best_val_stats"]["test_accuracy"]) > 0.45

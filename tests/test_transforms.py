@@ -1,0 +1,82 @@
+"""Host graph transforms vs dense-numpy oracles (reference semantics)."""
+
+import numpy as np
+import scipy.sparse as sp
+
+from h2gcn_tpu.sparse import transforms
+from h2gcn_tpu.sparse.transforms import NType
+
+
+def _graph(n=80, density=0.08, seed=2):
+    A = sp.random(n, n, density=density, random_state=seed, format="csr")
+    A = ((A + A.T) > 0).astype(np.float32)
+    A.setdiag(0)
+    A.eliminate_zeros()
+    return A
+
+
+def test_sym_normalize_zero_degree_guard():
+    A = _graph()
+    A = A.tolil()
+    A[0, :] = 0
+    A[:, 0] = 0
+    A = A.tocsr()
+    An = transforms.normalize(A, NType.SYM_NORMALIZED).toarray()
+    Ad = A.toarray()
+    deg = Ad.sum(1)
+    d = np.where(deg > 0, deg ** -0.5, 0.0)
+    np.testing.assert_allclose(An, d[:, None] * Ad * d[None, :], atol=1e-6)
+
+
+def test_rw_normalize():
+    A = _graph()
+    An = transforms.normalize(A, NType.RW_NORMALIZED).toarray()
+    Ad = A.toarray()
+    deg = Ad.sum(1)
+    d = np.where(deg > 0, 1.0 / deg, 0.0)
+    np.testing.assert_allclose(An, d[:, None] * Ad, atol=1e-6)
+
+
+def test_add_remove_eye():
+    A = _graph()
+    assert transforms.add_eye(A).diagonal().sum() == A.shape[0]
+    assert transforms.remove_eye(transforms.add_eye(A)).diagonal().sum() == 0
+
+
+def test_nhood_split_exact_hops():
+    A = _graph()
+    n = A.shape[0]
+    hops = transforms.nhood_split(A, 2)
+    assert len(hops) == 3
+    Ad = A.toarray() + np.eye(n)
+    r1 = (Ad > 0).astype(float)
+    r2 = (Ad @ Ad > 0).astype(float)
+    np.testing.assert_allclose(hops[0].toarray(), np.eye(n))
+    np.testing.assert_allclose(hops[1].toarray(), r1 - np.eye(n))
+    np.testing.assert_allclose(hops[2].toarray(), r2 - r1)
+
+
+def test_nhood_split_early_termination():
+    # a complete graph saturates after 1 hop
+    A = sp.csr_matrix(np.ones((5, 5), np.float32) - np.eye(5, dtype=np.float32))
+    hops = transforms.nhood_split(A, 5)
+    assert len(hops) == 2  # [I, A1] then no growth
+
+
+def test_row_normalize():
+    F = sp.csr_matrix(np.array([[1, 1, 2.0], [0, 0, 0], [3, 0, 1]], np.float32))
+    Fn = transforms.row_normalize(F).toarray()
+    np.testing.assert_allclose(Fn.sum(1), [1.0, 0.0, 1.0], atol=1e-6)
+
+
+def test_chebyshev_fixed_eigenvalue():
+    A = _graph(n=40)
+    t = transforms.chebyshev_polynomials(A, 2, eigenvalue=2)
+    assert len(t) == 3
+    n = A.shape[0]
+    lap = np.eye(n) - transforms.normalize(A, NType.SYM_NORMALIZED).toarray()
+    scaled = lap - np.eye(n)  # (2/2)*L - I
+    np.testing.assert_allclose(t[1].toarray(), scaled, atol=1e-5)
+    np.testing.assert_allclose(
+        t[2].toarray(), 2 * scaled @ scaled - np.eye(n), atol=1e-4
+    )
