@@ -260,6 +260,7 @@ class PlanetoidData:
         self,
         get_adj_hops=None,
         get_adj_norm_hops=None,
+        supports=None,
         norm_type: NType = NType.SYM_NORMALIZED,
         dtype=np.float32,
         backend: str = "auto",
@@ -271,6 +272,9 @@ class PlanetoidData:
         ``["0,1", "2"]``; each group's exact-hop matrices are summed and then
         normalized (``norm_type``), yielding one SparseMatrix per group.
         ``get_adj_hops`` does the same without normalization (dense stack).
+        ``supports``: an explicit list of scipy support matrices exported
+        directly as ``adj_hops`` (GCN ``Â = sym_norm(A+I)``, Chebyshev
+        polynomials, ...).
         """
         import jax.numpy as jnp
 
@@ -285,6 +289,11 @@ class PlanetoidData:
         def _hop_groups(spec):
             return [[int(x) for x in elem.split(",")] for elem in spec]
 
+        if supports is not None:
+            t.adj_hops = [
+                SparseMatrix.from_scipy(m.astype(dtype), backend=backend)
+                for m in supports
+            ]
         if get_adj_hops:
             groups = _hop_groups(get_adj_hops)
             kmax = max(chain(*groups))

@@ -1,0 +1,253 @@
+"""GAT / SpGAT baseline (Veličković et al., ICLR 2018).
+
+Reference semantics (baselines/GAT/):
+  * sparse attention head (utils/layers.py:53-100): ``h = XW``; per-edge
+    logit ``leakyrelu(a₁ᵀh_i + a₂ᵀh_j)`` over the self-looped adjacency;
+    per-destination sparse softmax; attention dropout; ``Σ α_ij h_j + bias``
+    then ELU;
+  * 8 concatenated heads of width 8 in layer 1, 1 averaged head at the
+    output (execute_cora_sparse.py:18-19);
+  * Adam lr 0.005, L2 ``5e-4·Σ½‖θ‖²`` over all weights (base_gattn.py:12-26),
+    input/attention dropout 0.6, patience-100 early stopping tracking both
+    best val acc and best val loss (execute_cora_sparse.py:200-230).
+
+TPU design: the attention is SDDMM + segment-softmax over padded COO edges —
+gathers and segment reductions with static shapes, the whole multi-head layer
+inside one jit. Padded edges carry ``-inf`` logits so they vanish in the
+softmax.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..nn.metrics import masked_softmax_cross_entropy
+from ..sparse import transforms
+from . import _runtime
+
+
+def segment_softmax(logits, segment_ids, num_segments, valid):
+    """Numerically-stable softmax over edges grouped by destination row."""
+    logits = jnp.where(valid, logits, -jnp.inf)
+    seg_max = jax.ops.segment_max(
+        logits, segment_ids, num_segments=num_segments, indices_are_sorted=True
+    )
+    seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
+    ex = jnp.where(valid, jnp.exp(logits - seg_max[segment_ids]), 0.0)
+    denom = jax.ops.segment_sum(
+        ex, segment_ids, num_segments=num_segments, indices_are_sorted=True
+    )
+    return ex / jnp.maximum(denom[segment_ids], 1e-16)
+
+
+class GATNetwork:
+    """Multi-head graph attention with the runtime model interface."""
+
+    def __init__(self, rows, cols, edge_valid, n_nodes, num_classes, *,
+                 hid_units=(8,), n_heads=(8, 1), in_drop=0.6, attn_drop=0.6,
+                 residual=False, l2_coef=5e-4):
+        self.rows = rows
+        self.cols = cols
+        self.edge_valid = edge_valid
+        self.n = n_nodes
+        self.num_classes = num_classes
+        self.hid_units = list(hid_units)
+        self.n_heads = list(n_heads)
+        self.in_drop = in_drop
+        self.attn_drop = attn_drop
+        self.residual = residual
+        self.l2_coef = l2_coef
+        self.embedding_ind = None
+        self.output_ind = None
+        self.last_attn_coefs = None
+
+    @property
+    def num_layers(self):
+        return len(self.hid_units) + 1
+
+    def init(self, rng, input_dim: int, num_hops: int = 1):
+        glorot = jax.nn.initializers.glorot_uniform()
+        layers = []
+        dims = [input_dim] + [h * k for h, k in
+                              zip(self.hid_units, self.n_heads[:-1])]
+        out_dims = self.hid_units + [self.num_classes]
+        for li, (din, dout) in enumerate(zip(dims, out_dims)):
+            heads = []
+            for hi in range(self.n_heads[li] if li < len(self.n_heads) else 1):
+                k = jax.random.fold_in(rng, li * 100 + hi)
+                heads.append({
+                    "W": glorot(jax.random.fold_in(k, 0), (din, dout),
+                                jnp.float32),
+                    "a1": glorot(jax.random.fold_in(k, 1), (dout, 1),
+                                 jnp.float32)[:, 0],
+                    "a2": glorot(jax.random.fold_in(k, 2), (dout, 1),
+                                 jnp.float32)[:, 0],
+                    "b1": jnp.zeros((), jnp.float32),
+                    "b2": jnp.zeros((), jnp.float32),
+                    "bias": jnp.zeros((dout,), jnp.float32),
+                })
+            layers.append(heads)
+        return {"layers": layers}
+
+    def _attn_head(self, p, x, *, training, key, capture_alpha=False):
+        def dropout(v, rate, salt):
+            if training and key is not None and rate > 0:
+                k = jax.random.fold_in(key, salt)
+                keep = 1.0 - rate
+                m = jax.random.bernoulli(k, keep, v.shape)
+                return jnp.where(m, v / keep, 0.0)
+            return v
+
+        x = dropout(x, self.in_drop, 0)
+        h = jnp.matmul(x, p["W"], precision=jax.lax.Precision.HIGHEST)
+        f1 = h @ p["a1"] + p["b1"]
+        f2 = h @ p["a2"] + p["b2"]
+        e = jax.nn.leaky_relu(f1[self.rows] + f2[self.cols], 0.2)
+        alpha = segment_softmax(e, self.rows, self.n, self.edge_valid)
+        alpha = dropout(alpha, self.attn_drop, 1)
+        h = dropout(h, self.in_drop, 2)
+        out = jax.ops.segment_sum(
+            alpha[:, None] * h[self.cols], self.rows,
+            num_segments=self.n, indices_are_sorted=True,
+        )
+        out = out + p["bias"]
+        if capture_alpha:
+            self.last_attn_coefs = alpha
+        return out
+
+    def apply(self, params, adj, x, adjhops, *, training=False, rng=None,
+              capture=None, **kw):
+        h = x
+        n_layers = len(params["layers"])
+        for li, heads in enumerate(params["layers"]):
+            outs = []
+            for hi, p in enumerate(heads):
+                key = (jax.random.fold_in(rng, li * 1000 + hi)
+                       if rng is not None else None)
+                outs.append(self._attn_head(
+                    p, h, training=training, key=key,
+                    capture_alpha=(capture is not None and li == n_layers - 1),
+                ))
+            if li < n_layers - 1:
+                new_h = jnp.concatenate([jax.nn.elu(o) for o in outs], axis=1)
+                if self.residual and new_h.shape[1] == h.shape[1]:
+                    new_h = new_h + h
+                h = new_h
+            else:
+                h = sum(outs) / len(outs)  # output heads averaged, no act
+            if capture is not None:
+                capture[f"activations/{li}-gat"] = h
+        return h
+
+    def get_embeddings(self, params, adj, x, adjhops):
+        h = x
+        for heads in params["layers"][:-1]:
+            h = jnp.concatenate(
+                [jax.nn.elu(self._attn_head(p, h, training=False, key=None))
+                 for p in heads], axis=1)
+        return h
+
+    def l2_loss(self, params):
+        # l2_coef · Σ ½‖θ‖² over every trainable tensor (tf.nn.l2_loss halves;
+        # the reference's name-based bias exclusion matches nothing in
+        # practice — quirk preserved, base_gattn.py:14-18).
+        total = sum(
+            jnp.sum(jnp.square(leaf))
+            for leaf in jax.tree_util.tree_leaves(params)
+        )
+        return self.l2_coef * 0.5 * total
+
+    def loss(self, params, logits, labels, mask):
+        return masked_softmax_cross_entropy(logits, labels, mask) + self.l2_loss(
+            params
+        )
+
+
+class GATPatienceController:
+    """Reference GAT early stopping: stop after ``patience`` epochs with
+    neither a new best val_acc nor a new best val_loss
+    (execute_cora_sparse.py:200-230). Consumes the epoch stats dict."""
+
+    def __init__(self, patience):
+        self.patience = patience
+        self.vacc_mx = -np.inf
+        self.vlss_mn = np.inf
+        self.curr_step = 0
+
+    def __call__(self, epoch_stats) -> bool:
+        vacc = float(epoch_stats["val_acc"])
+        vlss = float(epoch_stats["val_loss"])
+        if vacc >= self.vacc_mx or vlss <= self.vlss_mn:
+            self.vacc_mx = max(vacc, self.vacc_mx)
+            self.vlss_mn = min(vlss, self.vlss_mn)
+            self.curr_step = 0
+            return False
+        self.curr_step += 1
+        return self.patience > 0 and self.curr_step >= self.patience
+
+
+def add_subparser_args(parser):
+    group = parser.add_argument_group("GAT Model Arguments (GAT.py)")
+    group.add_argument("--lr", default=0.005, type=float)
+    group.add_argument("--l2_coef", default=0.0005, type=float)
+    group.add_argument("--hid_units", default=[8], nargs="*", type=int)
+    group.add_argument("--n_heads", default=[8, 1], nargs="*", type=int)
+    group.add_argument("--in_drop", default=0.6, type=float)
+    group.add_argument("--attn_drop", default=0.6, type=float)
+    group.add_argument("--residual", default=False, action="store_true")
+    group.add_argument("--patience", default=100, type=int)
+    group.add_argument("--optimizer", type=str, default="adam")
+    group.add_argument("--no_feature_normalize", action="store_true")
+    group.add_argument("--best_val_criteria", choices=["val_acc", "val_loss"],
+                       default="val_acc")
+    group.add_argument("--save_activations", action="store_true")
+    group.add_argument("--save_predictions", nargs="+", type=bool, default=True)
+    parser.function_hooks["argparse"].append(argparse_callback)
+
+
+class _StatsPatience:
+    """Adapter: the runtime calls controller(val_loss); GAT's controller needs
+    the full stats dict, which it reads from args.objects each epoch."""
+
+    def __init__(self, args, inner):
+        self.args = args
+        self.inner = inner
+
+    def __call__(self, _val_loss):
+        return self.inner(self.args.objects["epoch_stats"])
+
+
+def argparse_callback(args):
+    dataset = args.objects["dataset"]
+    if not args.no_feature_normalize:
+        dataset.row_normalize_features()
+    tensors = dataset.get_tensors(backend="segment")
+    tensors.adj_hops = []
+    args.objects["tensors"] = vars(tensors)
+
+    # attention support: self-looped binary adjacency
+    # (reference utils/process.py:122-131 preprocess_adj_bias)
+    adj_sl = transforms.add_eye(dataset.sparse_adj).tocoo()
+    order = np.lexsort((adj_sl.col, adj_sl.row))
+    nnz = adj_sl.nnz
+    e_pad = max(1024, -(-nnz // 1024) * 1024)
+    rows = np.full(e_pad, dataset.num_samples - 1, np.int32)
+    cols = np.zeros(e_pad, np.int32)
+    rows[:nnz] = adj_sl.row[order]
+    cols[:nnz] = adj_sl.col[order]
+    valid = np.arange(e_pad) < nnz
+
+    model = GATNetwork(
+        jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(valid),
+        dataset.num_samples, dataset.num_labels,
+        hid_units=args.hid_units, n_heads=args.n_heads,
+        in_drop=args.in_drop, attn_drop=args.attn_drop,
+        residual=args.residual, l2_coef=args.l2_coef,
+    )
+    controller = _StatsPatience(args, GATPatienceController(args.patience))
+    _runtime.initialize_model(
+        args, model, args.optimizer, args.lr, controller,
+        seed=getattr(args, "random_seed", None),
+    )

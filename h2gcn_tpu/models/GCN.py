@@ -1,0 +1,129 @@
+"""GCN baseline family: GCN / GCN-Cheby / GCN+JK (Concat2) / MLP.
+
+Kipf & Welling GCN semantics (reference: baselines/gcn/gcn/models.py,
+layers.py, train.py) expressed on this framework's sparse core and layer
+program:
+
+* ``gcn``      — dropout → XW → ÂZ → ReLU, twice (Â = sym_norm(A+I));
+  weight decay ``5e-4 · ½‖W₁‖²`` on the FIRST layer only (tf.nn.l2_loss
+  halves; reference models.py:176-181).
+* ``cheby``    — per-support weights ``Σₖ Tₖ(L̃) Z Wₖ`` via the
+  [stack hops → flatten → one wide dense] identity (exactly equal because
+  SpMM is linear). ``--cheby_eigenvalue 2`` reproduces the reference's
+  fixed-eigenvalue option (baselines/gcn/gcn/utils.py:82-107).
+* ``concat2``  — the paper's GCN+JK: Dense→GC→GC, concat of the last three
+  activations, dense classifier (reference models.py:208-263).
+* ``mlp``      — two dense layers, no aggregation.
+
+Default hyperparameters follow the reference ``train.py`` flags
+(hidden1=16, dropout=0.5, lr=0.01, weight_decay=5e-4, epochs=200,
+10-epoch mean-window early stopping).
+"""
+
+from .. import nn
+from ..nn.dsl import Layer
+from ..sparse import transforms
+from ..sparse.transforms import NType
+from . import _runtime
+
+
+def add_subparser_args(parser):
+    group = parser.add_argument_group("GCN Model Arguments (GCN.py)")
+    group.add_argument("--variant", choices=["gcn", "cheby", "concat2", "mlp"],
+                       default="gcn")
+    group.add_argument("--hidden1", type=int, default=16)
+    group.add_argument("--dropout", type=float, default=0.5)
+    group.add_argument("--lr", "--learning_rate", type=float, default=0.01,
+                       dest="lr")
+    group.add_argument("--weight_decay", type=float, default=5e-4)
+    group.add_argument("--early_stopping", type=int, default=10)
+    group.add_argument("--max_degree", type=int, default=3,
+                       help="Chebyshev polynomial order (cheby variant)")
+    group.add_argument("--cheby_eigenvalue", type=float, default=None,
+                       help="Fixed largest eigenvalue (None → ARPACK)")
+    group.add_argument("--optimizer", type=str, default="adam")
+    group.add_argument("--best_val_criteria", choices=["val_acc", "val_loss"],
+                       default="val_acc")
+    group.add_argument("--save_activations", action="store_true")
+    group.add_argument("--save_predictions", nargs="+", type=bool, default=True)
+    group.add_argument("--sparse_backend",
+                       choices=["auto", "dense", "bsr", "segment"],
+                       default="auto")
+    parser.function_hooks["argparse"].append(argparse_callback)
+
+
+def build_layer_setups(variant, hidden, dropout, num_labels):
+    """Layer program per variant. ``l2_scale=0.5`` on the first parametric
+    layer reproduces the reference's tf.nn.l2_loss-halved first-layer-only
+    weight decay."""
+    D, M, G, V, R, C = (Layer.DROPOUT, Layer.DENSE, Layer.GCN,
+                        Layer.VECTORIZE, Layer.RELU, Layer.CONCAT)
+
+    def dense(units, out=False, l2=0.0, tag=None):
+        conf = dict(units=units, use_bias=False, l2_scale=l2)
+        if out:
+            conf["beginOutput"] = True
+        if tag:
+            conf["tag"] = tag
+        return (M, conf)
+
+    drop = (D, dict(dropout_rate=dropout))
+    if variant == "gcn":
+        return [
+            drop, dense(hidden, l2=0.5), (G, dict(hops=None)), (V, {}), (R, {}),
+            drop, dense(num_labels, out=True), (G, dict(hops=None)), (V, {}),
+        ]
+    if variant == "cheby":
+        # spmm-first ordering; the wide dense realizes per-support weights.
+        return [
+            drop, (G, dict(hops=None)), (V, {}), dense(hidden, l2=0.5), (R, {}),
+            drop, (G, dict(hops=None)), (V, {}), dense(num_labels, out=True),
+        ]
+    if variant == "concat2":
+        return [
+            drop, dense(hidden, l2=0.5), (R, dict(tag="1")),
+            drop, dense(hidden), (G, dict(hops=None)), (V, {}),
+            (R, dict(tag="2")),
+            drop, dense(hidden), (G, dict(hops=None)), (V, {}),
+            (R, dict(tag="3")),
+            (C, dict(tags=["1", "2", "3"], addInputs=False)),
+            drop, dense(num_labels, out=True),
+        ]
+    if variant == "mlp":
+        return [
+            drop, dense(hidden, l2=0.5), (R, {}),
+            drop, dense(num_labels, out=True),
+        ]
+    raise ValueError(f"unknown GCN variant {variant}")
+
+
+def argparse_callback(args):
+    dataset = args.objects["dataset"]
+    dataset.row_normalize_features()
+    if args.variant == "cheby":
+        supports = transforms.chebyshev_polynomials(
+            dataset.sparse_adj, args.max_degree,
+            eigenvalue=args.cheby_eigenvalue,
+        )
+    elif args.variant == "mlp":
+        supports = []
+    else:
+        supports = [
+            transforms.normalize(
+                transforms.add_eye(dataset.sparse_adj), NType.SYM_NORMALIZED
+            )
+        ]
+    tensors = dataset.get_tensors(
+        supports=supports, backend=args.sparse_backend
+    )
+    args.objects["tensors"] = vars(tensors)
+
+    layer_setups = build_layer_setups(
+        args.variant, args.hidden1, args.dropout, dataset.num_labels
+    )
+    model = nn.NetworkModel(layer_setups,
+                            l2_regularize_weight=args.weight_decay)
+    _runtime.initialize_model(
+        args, model, args.optimizer, args.lr, args.early_stopping,
+        seed=getattr(args, "random_seed", None),
+    )

@@ -1,0 +1,200 @@
+"""GraphSAGE baseline (Hamilton et al. 2017), supervised, mean aggregator.
+
+Reference semantics (baselines/graphsage-simple/graphsage/):
+  * MeanAggregator — uniform sampling of ``num_sample`` neighbors WITHOUT
+    replacement (all neighbors when degree < k), mean of their embeddings
+    (aggregators.py:30-64);
+  * Encoder — ``ReLU(W · concat(self, neigh))`` (encoders.py:34-52), two
+    stacked encoders, hidden 128;
+  * SupervisedGraphSage — linear scorer, CE loss over a 256-node train
+    minibatch per step, SGD lr 0.7 (model.py:63-162);
+  * Concat (+JK) variant — classifier over ``concat(enc1, enc2)``
+    (model.py:24-41).
+
+TPU design: neighbor lists live in a padded ELL table ``[N, Dmax]``; per-node
+without-replacement sampling is a ``top_k`` over PRNG scores (exactly uniform,
+fully inside jit, no host RNG); each layer aggregates full-graph so the whole
+step is one XLA program. The reference's per-batch Python sampling loops
+(aggregators.py:38-44) have no jit equivalent — this is the idiomatic
+replacement flagged in SURVEY.md §7 "hard parts".
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..nn.metrics import masked_softmax_cross_entropy
+from . import _runtime
+
+
+def build_neighbor_table(adj_csr):
+    """Padded ELL neighbor table [N, Dmax] + validity mask from CSR."""
+    n = adj_csr.shape[0]
+    indptr, indices = adj_csr.indptr, adj_csr.indices
+    degs = np.diff(indptr)
+    dmax = max(1, int(degs.max()))
+    table = np.zeros((n, dmax), dtype=np.int32)
+    valid = np.zeros((n, dmax), dtype=bool)
+    for i in range(n):
+        nbrs = indices[indptr[i]:indptr[i + 1]]
+        table[i, : len(nbrs)] = nbrs
+        valid[i, : len(nbrs)] = True
+    return jnp.asarray(table), jnp.asarray(valid)
+
+
+class GraphSAGENetwork:
+    """Two-layer supervised GraphSAGE with the runtime model interface."""
+
+    def __init__(self, table, valid, num_classes, *, hid_units=128,
+                 num_samples=(5, 5), concat_jk=False, gcn_aggregator=False,
+                 gcn_encoder=False):
+        self.table = table
+        self.valid = valid
+        self.num_classes = num_classes
+        self.hid_units = hid_units
+        self.num_samples = list(num_samples)
+        self.concat_jk = concat_jk
+        self.gcn_aggregator = gcn_aggregator
+        self.gcn_encoder = gcn_encoder
+        self.embedding_ind = None
+        self.output_ind = None
+
+    @property
+    def num_layers(self):
+        return 3
+
+    def init(self, rng, input_dim: int, num_hops: int = 1):
+        glorot = jax.nn.initializers.glorot_uniform()
+        mult = 1 if self.gcn_encoder else 2
+        dims1 = (mult * input_dim, self.hid_units)
+        dims2 = (mult * self.hid_units, self.hid_units)
+        out_in = self.hid_units * (2 if self.concat_jk else 1)
+        return {
+            "W1": glorot(jax.random.fold_in(rng, 0), dims1, jnp.float32),
+            "W2": glorot(jax.random.fold_in(rng, 1), dims2, jnp.float32),
+            "Wout": glorot(jax.random.fold_in(rng, 2),
+                           (out_in, self.num_classes), jnp.float32),
+        }
+
+    # ---------------------------------------------------------------- layers
+    def _sampled_mean(self, feats, key, num_sample):
+        """Mean of ≤``num_sample`` uniformly-sampled (w/o replacement)
+        neighbors per node; nodes with fewer neighbors use all of them."""
+        table, valid = self.table, self.valid
+        if self.gcn_aggregator:
+            self_col = jnp.arange(table.shape[0], dtype=table.dtype)[:, None]
+            table = jnp.concatenate([table, self_col], axis=1)
+            valid = jnp.concatenate(
+                [valid, jnp.ones((table.shape[0], 1), bool)], axis=1
+            )
+        dmax = table.shape[1]
+        if num_sample is None or num_sample >= dmax:
+            sel, sel_valid = table, valid
+        else:
+            scores = jax.random.uniform(key, table.shape)
+            scores = jnp.where(valid, scores, -jnp.inf)
+            top_scores, top_idx = jax.lax.top_k(scores, num_sample)
+            sel = jnp.take_along_axis(table, top_idx, axis=1)
+            sel_valid = jnp.isfinite(top_scores)
+        gathered = feats[sel] * sel_valid[..., None].astype(feats.dtype)
+        count = jnp.maximum(sel_valid.sum(axis=1, keepdims=True), 1)
+        return gathered.sum(axis=1) / count.astype(feats.dtype)
+
+    def _encode(self, w, feats, key, num_sample):
+        neigh = self._sampled_mean(feats, key, num_sample)
+        combined = neigh if self.gcn_encoder else jnp.concatenate(
+            [feats, neigh], axis=1
+        )
+        return jax.nn.relu(
+            jnp.matmul(combined, w, precision=jax.lax.Precision.HIGHEST)
+        )
+
+    # ----------------------------------------------------------------- apply
+    def apply(self, params, adj, x, adjhops, *, training=False, rng=None,
+              capture=None, **kw):
+        # The reference samples in BOTH train and eval; eval here uses a
+        # fixed key so model selection is deterministic.
+        key = rng if rng is not None else jax.random.PRNGKey(0)
+        h1 = self._encode(params["W1"], x, jax.random.fold_in(key, 0),
+                          self.num_samples[0])
+        h2 = self._encode(params["W2"], h1, jax.random.fold_in(key, 1),
+                          self.num_samples[1])
+        if capture is not None:
+            capture["activations/0-enc1"] = h1
+            capture["activations/1-enc2"] = h2
+        embeds = jnp.concatenate([h1, h2], axis=1) if self.concat_jk else h2
+        return jnp.matmul(embeds, params["Wout"],
+                          precision=jax.lax.Precision.HIGHEST)
+
+    def get_embeddings(self, params, adj, x, adjhops):
+        key = jax.random.PRNGKey(0)
+        return self._encode(params["W1"], x, key, self.num_samples[0])
+
+    def l2_loss(self, params):
+        return jnp.float32(0.0)  # reference uses no weight decay
+
+    def loss(self, params, logits, labels, mask):
+        return masked_softmax_cross_entropy(logits, labels, mask)
+
+
+def add_subparser_args(parser):
+    group = parser.add_argument_group("GraphSAGE Model Arguments (GRAPHSAGE.py)")
+    group.add_argument("--batch_size", default=256, type=int)
+    group.add_argument("--lr", "--learning_rate", default=0.7, type=float)
+    group.add_argument("--hid_units", default=128, type=int)
+    group.add_argument("--num_samples", nargs="+", default=[5, 5], type=int)
+    group.add_argument("--gcn_encoder", action="store_true")
+    group.add_argument("--gcn_aggregator", action="store_true")
+    group.add_argument("--model_class", choices=[
+        "SupervisedGraphSage", "SupervisedGraphSageConcat"],
+        default="SupervisedGraphSage")
+    group.add_argument("--optimizer", type=str, default="sgd")
+    group.add_argument("--early_stopping", type=int, default=0)
+    group.add_argument("--best_val_criteria", choices=["val_acc", "val_loss"],
+                       default="val_acc")
+    group.add_argument("--save_activations", action="store_true")
+    group.add_argument("--save_predictions", nargs="+", type=bool, default=True)
+    parser.function_hooks["argparse"].append(argparse_callback)
+
+
+def argparse_callback(args):
+    dataset = args.objects["dataset"]
+    tensors = dataset.get_tensors(backend="segment")
+    tensors.adj_hops = []  # aggregation uses the ELL neighbor table instead
+    args.objects["tensors"] = vars(tensors)
+
+    table, valid = build_neighbor_table(dataset.sparse_adj.tocsr())
+    model = GraphSAGENetwork(
+        table, valid, dataset.num_labels,
+        hid_units=args.hid_units,
+        num_samples=args.num_samples,
+        concat_jk=(args.model_class == "SupervisedGraphSageConcat"),
+        gcn_aggregator=args.gcn_aggregator,
+        gcn_encoder=args.gcn_encoder,
+    )
+    _runtime.initialize_model(
+        args, model, args.optimizer, args.lr, args.early_stopping,
+        seed=getattr(args, "random_seed", None),
+    )
+
+    # Minibatch semantics: each epoch trains on a random subset of
+    # ``batch_size`` train nodes (reference model.py:130-137) — implemented by
+    # re-masking before every epoch (same shapes → no recompilation).
+    full_train_mask = np.asarray(tensors.train_mask).astype(bool)
+    train_idx = np.where(full_train_mask)[0]
+    if args.batch_size and args.batch_size < len(train_idx):
+        batch_rng = np.random.RandomState(getattr(args, "random_seed", 123) or 123)
+
+        def subsample_batch(epoch, args):
+            pick = batch_rng.choice(train_idx, args.batch_size, replace=False)
+            mask = np.zeros_like(full_train_mask)
+            mask[pick] = True
+            t = args.objects["tensors"]
+            t["train_mask"] = jnp.asarray(mask.astype(np.float32))
+            y = np.zeros_like(np.asarray(t["y_all"]))
+            y[mask] = np.asarray(t["y_all"])[mask]
+            t["y_train"] = jnp.asarray(y)
+
+        args.objects["pre_epoch_callbacks"].append(subsample_batch)

@@ -49,8 +49,13 @@ def get_optimizer(name: str, lr: float):
 
 
 def initialize_model(args, model, optimizer_name, lr, early_stopping,
-                     seed=None):
-    """Build params/optimizer and register step fns + callbacks in args.objects."""
+                     seed=None, es_metric="val_loss"):
+    """Build params/optimizer and register step fns + callbacks in args.objects.
+
+    ``optimizer_name`` may be a name string or a ready optax transformation;
+    ``early_stopping`` an int window (SlidingMean on ``es_metric``) or a
+    controller instance.
+    """
     tensors = args.objects["tensors"]
     dataset = args.objects["dataset"]
     adj_hops = tensors.get("adj_hops", [])
@@ -61,7 +66,10 @@ def initialize_model(args, model, optimizer_name, lr, early_stopping,
     params = model.init(
         jax.random.PRNGKey(seed), dataset.feature_dim, num_hops
     )
-    tx = get_optimizer(optimizer_name, lr)
+    if isinstance(optimizer_name, str):
+        tx = get_optimizer(optimizer_name, lr)
+    else:
+        tx = optimizer_name
     opt_state = tx.init(params)
 
     @jax.jit
@@ -161,15 +169,18 @@ def initialize_model(args, model, optimizer_name, lr, early_stopping,
     args.objects["statsPrinter"] = stats_printer
     args.objects["best_val_stats"] = None
     args.objects["current_ckpt"] = None
-    args.objects["early_stopping"] = controller.SlidingMeanEarlyStopping(
-        early_stopping
-    )
+    if isinstance(early_stopping, int):
+        args.objects["early_stopping"] = controller.SlidingMeanEarlyStopping(
+            early_stopping
+        )
+    else:
+        args.objects["early_stopping"] = early_stopping
 
     def post_epoch_callback(epoch, args):
         epoch_stats = args.objects["epoch_stats"]
         stats_printer(epoch, epoch_stats)
 
-        if args.objects["early_stopping"](epoch_stats["val_loss"]):
+        if args.objects["early_stopping"](epoch_stats[es_metric]):
             print("Early stopping...")
             args.epochs = epoch
 

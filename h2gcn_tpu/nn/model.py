@@ -230,7 +230,9 @@ class NetworkModel:
                 # Tag order follows tag creation order, matching the
                 # reference's kwargs-iteration (h2gcn/models/_layers.py:90-96).
                 selected = [v for t, v in tagged.items() if t in conf["tags"]]
-                x = jnp.concatenate([x] + selected, axis=-1)
+                if conf.get("addInputs", True):
+                    selected = [x] + selected
+                x = jnp.concatenate(selected, axis=-1)
             elif kind == Layer.SLICE:
                 src = tagged[conf["loadTag"]] if conf["loadTag"] else x
                 x = src[:, conf["sliceObj"]]
@@ -279,9 +281,14 @@ class NetworkModel:
         (biases excluded) — reference H2GCN.py:236-249, _metrics via
         ``self.losses`` at H2GCN.py:363-367."""
         total = 0.0
-        for p in params:
+        for ind, p in enumerate(params):
             if isinstance(p, dict) and "kernel" in p:
-                total = total + jnp.sum(jnp.square(p["kernel"]))
+                # Per-layer "l2_scale" lets baseline variants reproduce their
+                # reference regularization (e.g. Kipf GCN regularizes only the
+                # first layer, with tf.nn.l2_loss's 1/2 factor → scale 0.5).
+                scale = self.layer_setups[ind][1].get("l2_scale", 1.0)
+                if scale:
+                    total = total + scale * jnp.sum(jnp.square(p["kernel"]))
         return self.l2_regularize_weight * total
 
     def loss(self, params, logits, labels, mask) -> jax.Array:
