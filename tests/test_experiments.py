@@ -1,0 +1,174 @@
+"""Experiment pipeline: generator, statistics, feature/split generation."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from h2gcn_tpu.experiments import feature_generation as fg
+from h2gcn_tpu.experiments import graph_stats
+from h2gcn_tpu.experiments.graphgen import (
+    MixhopGraphGenerator,
+    adj_lists_to_scipy,
+)
+
+
+@pytest.fixture(scope="module")
+def syn_graph():
+    rng = np.random.RandomState(42)
+    gen = MixhopGraphGenerator([100, 100, 100], hetero_weights_exponent=1.0,
+                               rng=rng)
+    adj_lists, colors = gen(300, 2, 6, h=0.8)
+    return gen, adj_lists, colors
+
+
+def test_generator_basic_properties(syn_graph):
+    gen, adj_lists, colors = syn_graph
+    assert len(adj_lists) == 300
+    # exact class sizes (Σratio == n path)
+    assert [np.sum(colors == c) for c in (1, 2, 3)] == [100, 100, 100]
+    # symmetric, no self loops
+    for u, nbrs in adj_lists.items():
+        assert u not in nbrs
+        for v in nbrs:
+            assert u in adj_lists[v]
+
+
+def test_generator_homophily_tracks_h():
+    rng = np.random.RandomState(0)
+    ratios = []
+    for h in (0.1, 0.9):
+        gen = MixhopGraphGenerator([150, 150], rng=np.random.RandomState(1))
+        adj_lists, colors = gen(300, 2, 4, h=h)
+        A = adj_lists_to_scipy(adj_lists)
+        r = graph_stats.getHomoEdgeRatio(A, colors)["homoEdgeRatio"]
+        ratios.append(r)
+    assert ratios[0] < 0.35 and ratios[1] > 0.65
+
+
+def test_mixing_matrix():
+    gen = MixhopGraphGenerator([1, 1, 1, 1, 1], hetero_weights_exponent=2.0)
+    H = gen.getH(0.4)
+    assert H.shape == (5, 5)
+    np.testing.assert_allclose(np.diag(H), 0.4)
+    # off-diagonal rows sum to (1-h)·Σw ≈ (1-h)
+    np.testing.assert_allclose(H.sum(1), H.sum(1)[0])
+
+
+def test_stats_against_networkx(syn_graph):
+    nx = pytest.importorskip("networkx")
+    _, adj_lists, colors = syn_graph
+    A = adj_lists_to_scipy(adj_lists)
+    n = A.shape[0]
+    ally = np.zeros((n, 3))
+    ally[np.arange(n), colors - 1] = 1
+    G = nx.from_scipy_sparse_array(A) if hasattr(nx, "from_scipy_sparse_array") \
+        else nx.from_scipy_sparse_matrix(A)
+
+    stats = graph_stats.calculate_statistics(
+        A, colors, ally, statepoint=dict(method="mixhop", classRatio=[1, 1, 1],
+                                         h=0.8, heteroWeightsExponent=1.0))
+    assert stats["numNodes"] == n
+    assert stats["numEdges"] == G.number_of_edges()
+    np.testing.assert_allclose(stats["avgClusteringCoeff"],
+                               nx.average_clustering(G), atol=1e-9)
+    assert stats["numComponents"] == nx.number_connected_components(G)
+    tri_nx = sum(nx.triangles(G).values()) // 3
+    assert stats["numTotalTriangles"] == tri_nx
+    assert stats["numSelfLoops"] == 0
+    # empirical homophily of rows sums to 1
+    np.testing.assert_allclose(stats["eH"].sum(1), 1.0, atol=1e-9)
+    assert stats["H"].shape == (3, 3)
+
+    # GeomGCN beta against a direct loop
+    betas = []
+    for v in G.nodes:
+        nbrs = list(G.neighbors(v))
+        if nbrs:
+            betas.append(
+                np.mean([colors[u] == colors[v] for u in nbrs])
+            )
+    np.testing.assert_allclose(stats["GeomGCNBeta"], np.mean(betas), atol=1e-9)
+
+
+def test_avg_shortest_path(syn_graph):
+    nx = pytest.importorskip("networkx")
+    _, adj_lists, colors = syn_graph
+    A = adj_lists_to_scipy(adj_lists)
+    G = nx.from_scipy_sparse_array(A) if hasattr(nx, "from_scipy_sparse_array") \
+        else nx.from_scipy_sparse_matrix(A)
+    got = graph_stats.getAvgShortestPath(A)["avgSPLength"]
+    pair_count = 0
+    dist_count = 0.0
+    for comp in nx.connected_components(G):
+        S = G.subgraph(comp)
+        if len(comp) < 2:
+            continue
+        count = len(comp) * (len(comp) - 1)
+        dist_count += nx.average_shortest_path_length(S) * count
+        pair_count += count
+    np.testing.assert_allclose(got, dist_count / pair_count, rtol=1e-9)
+
+
+def test_select_indices_modes():
+    rng = np.random.RandomState(0)
+    n = 60
+    ally = np.zeros((n, 3))
+    ally[np.arange(n), np.arange(n) % 3] = 1
+    sampled = np.zeros(n, bool)
+    per_class = fg.select_indices("5c", sampled, n, ally, 3, rng)
+    assert len(per_class) == 15 and sampled.sum() == 15
+    ratio = fg.select_indices("0.5p", sampled, n, ally, 3, rng)
+    # 50% of each class (20 per class total) → floor(0.5·20)=10 per class
+    assert len(ratio) == 30
+    rest = fg.select_indices("", sampled, n, ally, 3, rng)
+    assert sampled.all()
+    assert len(rest) == n - 45
+
+
+def test_generate_split_roundtrip(tmp_path, syn_graph):
+    from h2gcn_tpu.datasets._dataset import PlanetoidData
+
+    _, adj_lists, colors = syn_graph
+    n = len(adj_lists)
+    ally = np.zeros((n, 3))
+    ally[np.arange(n), colors - 1] = 1
+    rng = np.random.RandomState(7)
+    allx = rng.rand(n, 12)
+
+    result = fg.generate_split(
+        adj_lists, ally, allx, "0.25p__0.5p", tmp_path, "syn-test",
+        rng=np.random.RandomState(3),
+    )
+    assert result is not None
+    ds = PlanetoidData("syn-test", str(tmp_path), val_size=None)
+    assert ds.num_samples == n
+    assert ds.num_labels == 3
+    # split sizes: 25% train, 50% test per class, rest validation
+    assert ds.train_mask.sum() == 75
+    assert ds.test_mask.sum() == 150
+    assert ds.val_mask.sum() == result["val_size"] == 75
+    # train nodes occupy the front indices (planetoid layout)
+    assert ds.train_mask[:75].all()
+    # feature rows survive the relabeling: compare via node_mapping
+    feats = np.asarray(ds.features.todense())
+    for old, new in list(result["node_mapping"].items())[:50]:
+        np.testing.assert_allclose(feats[new], allx[old], atol=1e-6)
+    # graph structure preserved: degree multiset identical
+    A_new = ds.sparse_adj
+    A_old = adj_lists_to_scipy(adj_lists)
+    assert sorted(np.asarray(A_new.sum(1)).ravel()) == sorted(
+        np.asarray(A_old.sum(1)).ravel()
+    )
+
+
+def test_row_sample(planetoid_path):
+    from h2gcn_tpu.datasets._dataset import PlanetoidData
+
+    cora = PlanetoidData("ind.cora", planetoid_path, val_size=500)
+    n = 90
+    ally = np.zeros((n, 3))
+    ally[np.arange(n), np.arange(n) % 3] = 1
+    allx = fg.row_sample(ally, cora, rng=np.random.RandomState(0))
+    assert allx.shape == (n, cora.feature_dim)
+    # every synthetic node received a real (nonzero) cora feature row
+    assert (np.abs(allx).sum(axis=1) > 0).all()
