@@ -30,17 +30,11 @@ from . import _runtime
 
 
 def build_neighbor_table(adj_csr):
-    """Padded ELL neighbor table [N, Dmax] + validity mask from CSR."""
-    n = adj_csr.shape[0]
-    indptr, indices = adj_csr.indptr, adj_csr.indices
-    degs = np.diff(indptr)
-    dmax = max(1, int(degs.max()))
-    table = np.zeros((n, dmax), dtype=np.int32)
-    valid = np.zeros((n, dmax), dtype=bool)
-    for i in range(n):
-        nbrs = indices[indptr[i]:indptr[i + 1]]
-        table[i, : len(nbrs)] = nbrs
-        valid[i, : len(nbrs)] = True
+    """Padded ELL neighbor table [N, Dmax] + validity mask from CSR
+    (native C++ builder when available)."""
+    from ..native import build_ell
+
+    table, valid = build_ell(adj_csr)
     return jnp.asarray(table), jnp.asarray(valid)
 
 

@@ -40,10 +40,17 @@ def _dense_apply(p, x):
 
 def _aggregate(a, x):
     """SpMM dispatch: single-chip SparseMatrix or shard_map-local shard."""
-    from ..parallel.dist import DistSparseMatrix, dist_spmm
+    from ..parallel.dist import (
+        DistSparseMatrix,
+        RingShardedMatrix,
+        dist_spmm,
+        dist_spmm_ring,
+    )
 
     if isinstance(a, DistSparseMatrix):
         return dist_spmm(a, x)
+    if isinstance(a, RingShardedMatrix):
+        return dist_spmm_ring(a, x)
     return spmm(a, x)
 
 

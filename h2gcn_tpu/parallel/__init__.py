@@ -7,7 +7,20 @@ parameters replicated, and aggregation exchanges boundary features with XLA
 collectives inside ``shard_map``.
 """
 
-from .dist import DistSparseMatrix, dist_spmm, shard_matrix
+from .dist import (
+    DistSparseMatrix,
+    RingShardedMatrix,
+    ShardedMatrix,
+    dist_spmm,
+    dist_spmm_ring,
+    shard_hops,
+    shard_matrix,
+    shard_matrix_ring,
+)
 from .mesh import make_mesh
 
-__all__ = ["DistSparseMatrix", "dist_spmm", "shard_matrix", "make_mesh"]
+__all__ = [
+    "DistSparseMatrix", "RingShardedMatrix", "ShardedMatrix",
+    "dist_spmm", "dist_spmm_ring", "shard_hops", "shard_matrix",
+    "shard_matrix_ring", "make_mesh",
+]

@@ -139,6 +139,110 @@ def dist_spmm(dsm: DistSparseMatrix, x_local: jax.Array) -> jax.Array:
     )
 
 
+@struct.dataclass
+class RingShardedMatrix:
+    """Row-sharded matrix with edges grouped by source chunk, for the ring
+    schedule: device d's edges are split into P groups by which device owns
+    the source columns. Leading axis = device (consumed by shard_map).
+
+    ``cols`` are LOCAL to the source chunk (0..n_local-1).
+    """
+
+    rows: jax.Array  # [D, P, E_pad] int32 local dest rows, sorted per group
+    cols: jax.Array  # [D, P, E_pad] int32 chunk-local source cols
+    vals: jax.Array  # [D, P, E_pad] float32
+    n_local: int = struct.field(pytree_node=False)
+    n_global: int = struct.field(pytree_node=False)
+    axis: str = struct.field(pytree_node=False, default=GRAPH_AXIS)
+
+    @property
+    def num_shards(self) -> int:
+        return self.rows.shape[1]
+
+    def local(self) -> "RingShardedMatrix":
+        """Strip the device axis inside a shard_map body."""
+        return RingShardedMatrix(
+            rows=self.rows[0], cols=self.cols[0], vals=self.vals[0],
+            n_local=self.n_local, n_global=self.n_global, axis=self.axis,
+        )
+
+
+def shard_matrix_ring(
+    mat, num_shards: int, axis: str = GRAPH_AXIS
+) -> Tuple[RingShardedMatrix, int]:
+    """Partition rows AND group each row-shard's edges by source chunk."""
+    import scipy.sparse as sp
+
+    csr = sp.csr_matrix(mat).astype(np.float32)
+    n = csr.shape[0]
+    n_local = -(-n // num_shards)
+    n_pad = n_local * num_shards
+
+    chunks = [[None] * num_shards for _ in range(num_shards)]
+    max_e = 1
+    for d in range(num_shards):
+        lo, hi = d * n_local, min((d + 1) * n_local, n)
+        block = csr[lo:hi] if lo < n else sp.csr_matrix((0, n))
+        for s in range(num_shards):
+            clo, chi = s * n_local, min((s + 1) * n_local, n)
+            sub = block[:, clo:chi].tocoo()
+            chunks[d][s] = sub
+            max_e = max(max_e, sub.nnz)
+    e_pad = int(math.ceil(max_e / _EDGE_BUCKET)) * _EDGE_BUCKET
+
+    rows = np.full((num_shards, num_shards, e_pad), n_local - 1, np.int32)
+    cols = np.zeros((num_shards, num_shards, e_pad), np.int32)
+    vals = np.zeros((num_shards, num_shards, e_pad), np.float32)
+    for d in range(num_shards):
+        for s in range(num_shards):
+            sub = chunks[d][s]
+            order = np.lexsort((sub.col, sub.row))
+            e = sub.nnz
+            rows[d, s, :e] = sub.row[order]
+            cols[d, s, :e] = sub.col[order]
+            vals[d, s, :e] = sub.data[order]
+
+    return (
+        RingShardedMatrix(
+            rows=jnp.asarray(rows), cols=jnp.asarray(cols),
+            vals=jnp.asarray(vals), n_local=n_local, n_global=n_pad,
+            axis=axis,
+        ),
+        n_pad,
+    )
+
+
+def dist_spmm_ring(rsm: RingShardedMatrix, x_local: jax.Array) -> jax.Array:
+    """``A @ x`` with a ring schedule: node chunks rotate around the mesh via
+    ``ppermute`` while each device reduces the edges whose sources are in
+    the chunk it currently holds — comm/compute overlap instead of a full
+    all-gather, and peak memory O(n_local·F) instead of O(n·F).
+
+    Called INSIDE shard_map; leading device axis already consumed
+    (``rsm.rows``: [P, E]).
+    """
+    p = rsm.rows.shape[0]
+    my = jax.lax.axis_index(rsm.axis)
+
+    def partial(chunk_idx, x_chunk):
+        r = jnp.take(rsm.rows, chunk_idx, axis=0)
+        c = jnp.take(rsm.cols, chunk_idx, axis=0)
+        v = jnp.take(rsm.vals, chunk_idx, axis=0)
+        gathered = x_chunk[c] * v[:, None].astype(x_chunk.dtype)
+        return jax.ops.segment_sum(
+            gathered, r, num_segments=rsm.n_local, indices_are_sorted=True
+        )
+
+    out = partial(my, x_local)
+    buf = x_local
+    perm = [(i, (i + 1) % p) for i in range(p)]
+    for step in range(1, p):
+        buf = jax.lax.ppermute(buf, rsm.axis, perm=perm)
+        src = (my - step) % p
+        out = out + partial(src, buf)
+    return out
+
+
 def pad_nodes(arr: np.ndarray, n_pad: int) -> np.ndarray:
     """Zero-pad the leading (node) axis to ``n_pad``."""
     if arr.shape[0] == n_pad:
@@ -147,11 +251,18 @@ def pad_nodes(arr: np.ndarray, n_pad: int) -> np.ndarray:
     return np.pad(arr, pad_width)
 
 
-def shard_hops(mats: List, num_shards: int, axis: str = GRAPH_AXIS):
-    """Shard a list of hop matrices; returns (list of ShardedMatrix, n_pad)."""
+def shard_hops(mats: List, num_shards: int, axis: str = GRAPH_AXIS,
+               mode: str = "allgather"):
+    """Shard a list of hop matrices; returns (list of shards, n_pad).
+
+    ``mode='allgather'`` → :class:`ShardedMatrix` (one all_gather per SpMM);
+    ``mode='ring'`` → :class:`RingShardedMatrix` (ppermute ring with
+    comm/compute overlap, O(n_local·F) peak memory).
+    """
+    builder = shard_matrix if mode == "allgather" else shard_matrix_ring
     out = []
     n_pad = None
     for m in mats:
-        sm, n_pad = shard_matrix(m, num_shards, axis)
+        sm, n_pad = builder(m, num_shards, axis)
         out.append(sm)
     return out, n_pad

@@ -9,7 +9,8 @@ from __future__ import annotations
 import numpy as np
 
 
-def run(n_devices: int, n: int = 64, f: int = 32, c: int = 5, seed: int = 0):
+def run(n_devices: int, n: int = 64, f: int = 32, c: int = 5, seed: int = 0,
+        mode: str = "ring"):
     import jax
     import jax.numpy as jnp
     import scipy.sparse as sp
@@ -31,7 +32,7 @@ def run(n_devices: int, n: int = 64, f: int = 32, c: int = 5, seed: int = 0):
     mats = [transforms.normalize(hops[1]), transforms.normalize(hops[2])]
 
     mesh = make_mesh(n_devices)
-    hop_shards, n_pad = shard_hops(mats, n_devices)
+    hop_shards, n_pad = shard_hops(mats, n_devices, mode=mode)
 
     x = pad_nodes(rng.standard_normal((n, f)).astype(np.float32), n_pad)
     y = np.zeros((n, c), np.float32)
@@ -67,6 +68,7 @@ def run(n_devices: int, n: int = 64, f: int = 32, c: int = 5, seed: int = 0):
     loss = float(loss)
     acc = float(metrics["acc"])
     assert np.isfinite(loss), f"non-finite distributed loss: {loss}"
-    assert 0.0 <= acc <= 1.0
-    print(f"dryrun_multichip({n_devices}): loss={loss:.4f} acc={acc:.3f}")
+    assert 0.0 <= acc <= 1.0 + 1e-5
+    print(f"dryrun_multichip({n_devices}, {mode}): "
+          f"loss={loss:.4f} acc={acc:.3f}")
     return dict(loss=loss, acc=acc, params=params)

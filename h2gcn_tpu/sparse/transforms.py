@@ -66,16 +66,25 @@ def remove_eye(adj: sp.spmatrix) -> sp.csr_matrix:
     return out
 
 
-def nhood_split(adj: sp.spmatrix, nhood: int) -> List[sp.spmatrix]:
+def nhood_split(adj: sp.spmatrix, nhood: int,
+                use_native: bool = True) -> List[sp.spmatrix]:
     """Exact-hop reachability split ``[I, A₁ᵉˣ, A₂ᵉˣ, ...]``.
 
     ``A_kᵉˣ[i,j] = 1`` iff the shortest path between i and j (allowing the
     self loop added each round) is exactly k. Terminates early when the
     reachable set stops growing. Reference: h2gcn/datasets/_dataset.py:138-158.
+
+    When the native graphops library is available (h2gcn_tpu.native), the
+    boolean spgemm runs through the OpenMP C++ fast path.
     """
     assert adj.ndim == 2 and adj.shape[0] == adj.shape[1]
     if isinstance(nhood, float) and np.isnan(nhood):
         return [sp.csr_matrix(np.ones(adj.shape))]
+    if use_native:
+        from .. import native
+
+        if native.available():
+            return native.nhood_split_fast(sp.csr_matrix(adj), nhood)
     n = adj.shape[0]
     a_plus_i = (adj + sp.eye(n, format="csr")).tocsr()
     mt = sp.eye(n, format="csr")
