@@ -72,6 +72,13 @@ def initialize_model(args, model, optimizer_name, lr, early_stopping,
         tx = optimizer_name
     opt_state = tx.init(params)
 
+    mesh_shards = getattr(args, "_mesh_shards", 0) or 0
+    if mesh_shards > 1:
+        return _initialize_distributed(
+            args, model, tx, params, opt_state, early_stopping, seed,
+            es_metric, mesh_shards,
+        )
+
     @jax.jit
     def _train(params, opt_state, rng, adj, adj_hops, features, y_train,
                train_mask):
@@ -165,6 +172,17 @@ def initialize_model(args, model, optimizer_name, lr, early_stopping,
         st = args.objects["state"]
         return model.get_embeddings(st["params"], adj, features, adj_hops)
 
+    args.objects["train_step"] = train_step
+    args.objects["test_step"] = test_step
+    args.objects["predict_step"] = predict_step
+    args.objects["embed_step"] = embed_step
+    _register_protocol(args, model, test_step, early_stopping, es_metric)
+
+
+def _register_protocol(args, model, test_step, early_stopping, es_metric):
+    """Wire the epoch protocol: stats printing, early stopping, best-val
+    tracking, checkpoint management, results.json (reference
+    H2GCN.py:136-195)."""
     stats_printer = logger.EpochStatsPrinter()
     args.objects["statsPrinter"] = stats_printer
     args.objects["best_val_stats"] = None
@@ -245,9 +263,73 @@ def initialize_model(args, model, optimizer_name, lr, early_stopping,
             with open(job.fn("results.json"), "w") as f:
                 json.dump(record, f, default=str)
 
-    args.objects["train_step"] = train_step
-    args.objects["test_step"] = test_step
-    args.objects["predict_step"] = predict_step
-    args.objects["embed_step"] = embed_step
     args.objects["post_epoch_callbacks"].append(post_epoch_callback)
     args.objects["post_train_callbacks"].append(post_train_callback)
+
+
+def _initialize_distributed(args, model, tx, params, opt_state,
+                            early_stopping, seed, es_metric, mesh_shards):
+    """Multi-chip runtime: node-sharded tensors, edge-partitioned hops,
+    shard_map'd train/eval steps — behind the same args.objects contract.
+
+    Activated by ``--mesh_shards N`` (NetworkModel-based models). Halo mode
+    via ``--halo_mode {ring,allgather}``.
+    """
+    from ..parallel import dist as pdist
+    from ..parallel import train as ptrain
+    from ..parallel.mesh import make_mesh
+
+    tensors = args.objects["tensors"]
+    hops = tensors.get("adj_hops") or []
+    assert isinstance(hops, (list, tuple)) and hops, (
+        "--mesh_shards requires hop-matrix models (H2GCN/GCN families)")
+    mode = getattr(args, "_halo_mode", "ring") or "ring"
+    mesh = make_mesh(mesh_shards)
+    hop_shards, n_pad = pdist.shard_hops(
+        [h.to_scipy() for h in hops], mesh_shards, mode=mode
+    )
+    train_fn, _ = ptrain.build_dist_steps(model, tx, mesh, hop_shards)
+    eval_full = train_fn.eval_full
+
+    sharding = ptrain.make_node_sharding(mesh)
+
+    def put(key):
+        arr = np.asarray(tensors[key], dtype=np.float32)
+        return jax.device_put(
+            jnp.asarray(pdist.pad_nodes(arr, n_pad)), sharding
+        )
+
+    dd = {k: put(k) for k in ("features", "y_train", "train_mask", "y_val",
+                              "val_mask", "y_test", "test_mask")}
+    args.objects["dist_data"] = dd
+    args.objects["state"] = {"params": params, "opt_state": opt_state}
+    args.objects["model"] = model
+    args.objects["optimizer"] = tx
+    rng_base = jax.random.PRNGKey(seed + 1)
+    print(f"===> Distributed runtime: {mesh_shards}-way mesh, "
+          f"{mode} halo exchange, {n_pad} padded nodes")
+
+    def train_step(**kwargs):
+        st = args.objects["state"]
+        rng = jax.random.fold_in(rng_base, args.current_epoch)
+        new_params, new_opt_state, loss = train_fn(
+            st["params"], st["opt_state"], rng, dd["features"],
+            dd["y_train"], dd["train_mask"],
+        )
+        args.objects["state"] = {"params": new_params,
+                                 "opt_state": new_opt_state}
+        return dict(train_loss=loss)
+
+    def test_step(verbose=None, save_activations=False,
+                  save_predictions=False, **kwargs):
+        st = args.objects["state"]
+        stats = dict(eval_full(
+            st["params"], dd["features"], dd["y_train"], dd["train_mask"],
+            dd["y_val"], dd["val_mask"], dd["y_test"], dd["test_mask"],
+        ))
+        stats["monitor"] = dict()
+        return stats
+
+    args.objects["train_step"] = train_step
+    args.objects["test_step"] = test_step
+    _register_protocol(args, model, test_step, early_stopping, es_metric)

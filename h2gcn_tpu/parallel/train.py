@@ -99,6 +99,21 @@ def build_dist_steps(
             loss=masked_ce_dist(logits, y, mask, axis),
         )
 
+    def _local_eval_full(params, x, y_train, train_mask, y_val, val_mask,
+                         y_test, test_mask, *hops):
+        """Full epoch-stats eval (the runtime test_step contract)."""
+        hops_local = [h.local() for h in hops]
+        logits = model.apply(params, hops_local[0], x, hops_local,
+                             training=False)
+        return dict(
+            train_acc=masked_acc_dist(logits, y_train, train_mask, axis),
+            val_acc=masked_acc_dist(logits, y_val, val_mask, axis),
+            test_accuracy=masked_acc_dist(logits, y_test, test_mask, axis),
+            val_loss=masked_ce_dist(logits, y_val, val_mask, axis)
+            + model.l2_loss(params),
+            test_loss=masked_ce_dist(logits, y_test, test_mask, axis),
+        )
+
     train_shard = jax.shard_map(
         _local_train,
         mesh=mesh,
@@ -113,6 +128,13 @@ def build_dist_steps(
         out_specs=P(),
         check_vma=False,
     )
+    eval_full_shard = jax.shard_map(
+        _local_eval_full,
+        mesh=mesh,
+        in_specs=(P(),) + (P(axis),) * 7 + hop_specs,
+        out_specs=P(),
+        check_vma=False,
+    )
 
     @jax.jit
     def train_step(params, opt_state, rng, x, y, mask):
@@ -122,4 +144,17 @@ def build_dist_steps(
     def eval_step(params, x, y, mask):
         return eval_shard(params, x, y, mask, *hop_shards)
 
+    @jax.jit
+    def eval_full_step(params, x, y_train, train_mask, y_val, val_mask,
+                       y_test, test_mask):
+        return eval_full_shard(params, x, y_train, train_mask, y_val,
+                               val_mask, y_test, test_mask, *hop_shards)
+
+    train_step.eval_full = eval_full_step  # extended contract for the runtime
     return train_step, eval_step
+
+
+def make_node_sharding(mesh, axis=GRAPH_AXIS):
+    from jax.sharding import NamedSharding
+
+    return NamedSharding(mesh, P(axis))

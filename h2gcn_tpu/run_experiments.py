@@ -29,6 +29,15 @@ def main(argv=None):
                         help="Write a jax.profiler trace of epochs 3-5 here")
     parser.add_argument("--timing", action="store_true", dest="_timing",
                         help="Record per-epoch wall time and edges/s")
+    parser.add_argument("--mesh_shards", type=int, default=0,
+                        dest="_mesh_shards",
+                        help="Train distributed over an N-device mesh "
+                             "(node-sharded activations, edge-partitioned "
+                             "SpMM)")
+    parser.add_argument("--halo_mode", choices=["ring", "allgather"],
+                        default="ring", dest="_halo_mode",
+                        help="Boundary-feature exchange strategy for "
+                             "distributed SpMM")
 
     known_args, _ = parser.parse_known_args(argv)
     if known_args._platform:

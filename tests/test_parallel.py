@@ -203,3 +203,18 @@ def test_ring_train_matches_single_chip(problem):
                     jax.tree_util.tree_leaves(ref_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                    atol=1e-5)
+
+
+@pytest.mark.slow
+def test_distributed_cli_training(planetoid_path, tmp_path):
+    """--mesh_shards through the real CLI: same accuracy as single-chip."""
+    from h2gcn_tpu.run_experiments import main
+
+    args = main([
+        "H2GCN", "planetoid", "--dataset", "ind.cora",
+        "--dataset_path", planetoid_path,
+        "--epochs", "15", "--mesh_shards", "8", "--halo_mode", "ring",
+        "--checkpoint_dir", str(tmp_path / "ck" / "{model}_{dataset}_{runname}"),
+    ])
+    acc = float(args.objects["best_val_stats"]["test_accuracy"])
+    assert acc > 0.60
