@@ -43,15 +43,16 @@ def segment_softmax(logits, segment_ids, num_segments, valid):
 
 
 class GATNetwork:
-    """Multi-head graph attention with the runtime model interface."""
+    """Multi-head graph attention with the runtime model interface.
 
-    def __init__(self, rows, cols, edge_valid, n_nodes, num_classes, *,
+    The attention support (self-looped adjacency) arrives per call as the
+    ``adj`` SparseMatrix — edges are jit ARGUMENTS, not model-held constants,
+    so compiled programs stay small on large graphs.
+    """
+
+    def __init__(self, num_classes, *,
                  hid_units=(8,), n_heads=(8, 1), in_drop=0.6, attn_drop=0.6,
                  residual=False, l2_coef=5e-4):
-        self.rows = rows
-        self.cols = cols
-        self.edge_valid = edge_valid
-        self.n = n_nodes
         self.num_classes = num_classes
         self.hid_units = list(hid_units)
         self.n_heads = list(n_heads)
@@ -91,7 +92,11 @@ class GATNetwork:
             layers.append(heads)
         return {"layers": layers}
 
-    def _attn_head(self, p, x, *, training, key, capture_alpha=False):
+    def _attn_head(self, p, x, adj, *, training, key, capture_alpha=False):
+        rows, cols = adj.rows, adj.cols
+        edge_valid = adj.vals > 0  # padding entries carry value 0
+        n = adj.shape[0]
+
         def dropout(v, rate, salt):
             if training and key is not None and rate > 0:
                 k = jax.random.fold_in(key, salt)
@@ -104,13 +109,13 @@ class GATNetwork:
         h = jnp.matmul(x, p["W"], precision=jax.lax.Precision.HIGHEST)
         f1 = h @ p["a1"] + p["b1"]
         f2 = h @ p["a2"] + p["b2"]
-        e = jax.nn.leaky_relu(f1[self.rows] + f2[self.cols], 0.2)
-        alpha = segment_softmax(e, self.rows, self.n, self.edge_valid)
+        e = jax.nn.leaky_relu(f1[rows] + f2[cols], 0.2)
+        alpha = segment_softmax(e, rows, n, edge_valid)
         alpha = dropout(alpha, self.attn_drop, 1)
         h = dropout(h, self.in_drop, 2)
         out = jax.ops.segment_sum(
-            alpha[:, None] * h[self.cols], self.rows,
-            num_segments=self.n, indices_are_sorted=True,
+            alpha[:, None] * h[cols], rows,
+            num_segments=n, indices_are_sorted=True,
         )
         out = out + p["bias"]
         if capture_alpha:
@@ -127,7 +132,7 @@ class GATNetwork:
                 key = (jax.random.fold_in(rng, li * 1000 + hi)
                        if rng is not None else None)
                 outs.append(self._attn_head(
-                    p, h, training=training, key=key,
+                    p, h, adj, training=training, key=key,
                     capture_alpha=(capture is not None and li == n_layers - 1),
                 ))
             if li < n_layers - 1:
@@ -145,7 +150,8 @@ class GATNetwork:
         h = x
         for heads in params["layers"][:-1]:
             h = jnp.concatenate(
-                [jax.nn.elu(self._attn_head(p, h, training=False, key=None))
+                [jax.nn.elu(self._attn_head(p, h, adj, training=False,
+                                            key=None))
                  for p in heads], axis=1)
         return h
 
@@ -220,28 +226,23 @@ class _StatsPatience:
 
 
 def argparse_callback(args):
+    from ..sparse import SparseMatrix
+
     dataset = args.objects["dataset"]
     if not args.no_feature_normalize:
         dataset.row_normalize_features()
     tensors = dataset.get_tensors(backend="segment")
     tensors.adj_hops = []
+    # attention support: self-looped binary adjacency, replacing the raw
+    # adjacency in the tensor dict so it flows into the jitted step as an
+    # argument (reference utils/process.py:122-131 preprocess_adj_bias)
+    tensors.adj = SparseMatrix.from_scipy(
+        transforms.add_eye(dataset.sparse_adj), backend="segment"
+    )
     args.objects["tensors"] = vars(tensors)
 
-    # attention support: self-looped binary adjacency
-    # (reference utils/process.py:122-131 preprocess_adj_bias)
-    adj_sl = transforms.add_eye(dataset.sparse_adj).tocoo()
-    order = np.lexsort((adj_sl.col, adj_sl.row))
-    nnz = adj_sl.nnz
-    e_pad = max(1024, -(-nnz // 1024) * 1024)
-    rows = np.full(e_pad, dataset.num_samples - 1, np.int32)
-    cols = np.zeros(e_pad, np.int32)
-    rows[:nnz] = adj_sl.row[order]
-    cols[:nnz] = adj_sl.col[order]
-    valid = np.arange(e_pad) < nnz
-
     model = GATNetwork(
-        jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(valid),
-        dataset.num_samples, dataset.num_labels,
+        dataset.num_labels,
         hid_units=args.hid_units, n_heads=args.n_heads,
         in_drop=args.in_drop, attn_drop=args.attn_drop,
         residual=args.residual, l2_coef=args.l2_coef,

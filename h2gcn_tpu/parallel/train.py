@@ -136,19 +136,33 @@ def build_dist_steps(
         check_vma=False,
     )
 
-    @jax.jit
+    # hop shards flow through as jit ARGUMENTS — closure capture would bake
+    # the (potentially huge) edge arrays into the compiled program as
+    # constants, bloating executables and breaking remote-compile setups.
+    _train_jit = jax.jit(
+        lambda params, opt_state, rng, x, y, mask, hops: train_shard(
+            params, opt_state, rng, x, y, mask, *hops
+        )
+    )
+    _eval_jit = jax.jit(
+        lambda params, x, y, mask, hops: eval_shard(params, x, y, mask, *hops)
+    )
+    _eval_full_jit = jax.jit(
+        lambda params, x, yt, mt, yv, mv, ys, ms, hops: eval_full_shard(
+            params, x, yt, mt, yv, mv, ys, ms, *hops
+        )
+    )
+
     def train_step(params, opt_state, rng, x, y, mask):
-        return train_shard(params, opt_state, rng, x, y, mask, *hop_shards)
+        return _train_jit(params, opt_state, rng, x, y, mask, hop_shards)
 
-    @jax.jit
     def eval_step(params, x, y, mask):
-        return eval_shard(params, x, y, mask, *hop_shards)
+        return _eval_jit(params, x, y, mask, hop_shards)
 
-    @jax.jit
     def eval_full_step(params, x, y_train, train_mask, y_val, val_mask,
                        y_test, test_mask):
-        return eval_full_shard(params, x, y_train, train_mask, y_val,
-                               val_mask, y_test, test_mask, *hop_shards)
+        return _eval_full_jit(params, x, y_train, train_mask, y_val, val_mask,
+                              y_test, test_mask, hop_shards)
 
     train_step.eval_full = eval_full_step  # extended contract for the runtime
     return train_step, eval_step

@@ -50,6 +50,11 @@ def main(argv=None):
 
     args = arguments.parse_args(parser, argv)
 
+    # Transfer-path warmup: some tunneled TPU runtimes stall for minutes on
+    # the FIRST device→host readback of a process; take the hit before the
+    # epoch loop so per-epoch stats readback is fast.
+    float(jax.numpy.zeros(()))
+
     for func in args.objects["pretrain_callbacks"]:
         func(**args.objects["tensors"])
 

@@ -31,29 +31,37 @@ from jax.experimental.pallas import tpu as pltpu
 _FEATURE_TILE = 128
 
 
-def _kernel(brows_ref, bcols_ref, a_ref, x_ref, o_ref):
-    i = pl.program_id(1)
-    prev_row = brows_ref[jnp.maximum(i - 1, 0)]
-    is_first = jnp.logical_or(i == 0, brows_ref[i] != prev_row)
+def _make_kernel(precision):
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.DEFAULT)
 
-    contrib = jnp.dot(
-        a_ref[0],
-        x_ref[...],
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    ).astype(o_ref.dtype)
+    def _kernel(brows_ref, bcols_ref, a_ref, x_ref, o_ref):
+        i = pl.program_id(1)
+        prev_row = brows_ref[jnp.maximum(i - 1, 0)]
+        is_first = jnp.logical_or(i == 0, brows_ref[i] != prev_row)
 
-    @pl.when(is_first)
-    def _():
-        o_ref[...] = contrib
+        contrib = jnp.dot(
+            a_ref[0],
+            x_ref[...],
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        ).astype(o_ref.dtype)
 
-    @pl.when(jnp.logical_not(is_first))
-    def _():
-        o_ref[...] = o_ref[...] + contrib
+        @pl.when(is_first)
+        def _():
+            o_ref[...] = contrib
+
+        @pl.when(jnp.logical_not(is_first))
+        def _():
+            o_ref[...] = o_ref[...] + contrib
+
+    return _kernel
 
 
-@functools.partial(jax.jit, static_argnames=("n_out", "feature_tile"))
-def bsr_spmm(bsr, x: jax.Array, *, n_out: int, feature_tile: int = _FEATURE_TILE):
+@functools.partial(jax.jit,
+                   static_argnames=("n_out", "feature_tile", "precision"))
+def bsr_spmm(bsr, x: jax.Array, *, n_out: int,
+             feature_tile: int = _FEATURE_TILE, precision: str = "highest"):
     """``A @ x`` where ``A`` is a :class:`~h2gcn_tpu.sparse.matrix.BSR`.
 
     ``x``: [m, F] (any F — padded to the feature tile internally).
@@ -66,12 +74,17 @@ def bsr_spmm(bsr, x: jax.Array, *, n_out: int, feature_tile: int = _FEATURE_TILE
     f_pad = max(feature_tile, -(-f // feature_tile) * feature_tile)
     nf = f_pad // feature_tile
 
-    xp = x
+    # match the feature operand to the block payload dtype (bf16 throughput
+    # mode converts the small x, never the large block payload)
+    x_comp_dtype = (bsr.blocks.dtype if bsr.blocks.dtype == jnp.bfloat16
+                    else x.dtype)
+    xp = x.astype(x_comp_dtype)
     if m_pad != m or f_pad != f:
-        xp = jnp.zeros((m_pad, f_pad), dtype=x.dtype).at[:m, :f].set(x)
+        xp = jnp.zeros((m_pad, f_pad), dtype=x_comp_dtype).at[:m, :f].set(xp)
 
     grid = (nf, nb)
-    out_shape = jax.ShapeDtypeStruct((bsr.n_row_blocks * B, f_pad), x.dtype)
+    out_dtype = x.dtype if x.dtype != jnp.bfloat16 else jnp.float32
+    out_shape = jax.ShapeDtypeStruct((bsr.n_row_blocks * B, f_pad), out_dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -93,7 +106,7 @@ def bsr_spmm(bsr, x: jax.Array, *, n_out: int, feature_tile: int = _FEATURE_TILE
     )
 
     out = pl.pallas_call(
-        _kernel,
+        _make_kernel(precision),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
@@ -102,6 +115,6 @@ def bsr_spmm(bsr, x: jax.Array, *, n_out: int, feature_tile: int = _FEATURE_TILE
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
-    )(bsr.block_rows, bsr.block_cols, bsr.blocks.astype(x.dtype), xp)
+    )(bsr.block_rows, bsr.block_cols, bsr.blocks, xp)
 
     return out[:n_out, :f]
