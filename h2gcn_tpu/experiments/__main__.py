@@ -80,7 +80,9 @@ def main(argv=None):
         if args.cora_path:
             from ..datasets._dataset import PlanetoidData
 
-            cora = PlanetoidData("ind.cora", args.cora_path, val_size=500)
+            # val_size=None → every labeled node lands in a scope, making all
+            # 2708 feature rows available for transplanting
+            cora = PlanetoidData("ind.cora", args.cora_path, val_size=None)
         generation.run_pipeline(args.root, config, cora_source=cora)
     elif args.command == "sweep":
         workflow.run_sweep(

@@ -172,10 +172,23 @@ def initialize_model(args, model, optimizer_name, lr, early_stopping,
         st = args.objects["state"]
         return model.get_embeddings(st["params"], adj, features, adj_hops)
 
+    def attn_step(adj, adj_hops, features, **kwargs):
+        """Attention coefficients after a forward pass (GAT-style models)."""
+        st = args.objects["state"]
+        capture = {}
+        model.apply(st["params"], adj, features, adj_hops, training=False,
+                    capture=capture)
+        coefs = getattr(model, "last_attn_coefs", None)
+        if coefs is None:
+            raise NotImplementedError(
+                f"{type(model).__name__} has no attention coefficients")
+        return coefs
+
     args.objects["train_step"] = train_step
     args.objects["test_step"] = test_step
     args.objects["predict_step"] = predict_step
     args.objects["embed_step"] = embed_step
+    args.objects["attn_step"] = attn_step
     _register_protocol(args, model, test_step, early_stopping, es_metric)
 
 

@@ -1,0 +1,75 @@
+"""Extension points: experimental (X) layer registry, attention step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from h2gcn_tpu.nn import NetworkModel, parse_network_setup
+from h2gcn_tpu.nn.model import experimental_registry
+from h2gcn_tpu.sparse import SparseMatrix, transforms
+
+
+def test_experimental_layer_registry():
+    """Register an X layer and use it from the DSL string."""
+
+    def scale_factory(conf, output_dim):
+        factor = float(conf)
+
+        def fn(params, adj, x, adjhops, tagged):
+            return x * factor
+
+        return fn
+
+    experimental_registry["scale"] = scale_factory
+    try:
+        conf = parse_network_setup("M8-Xscale_2.5-MO", 3, _dense_units=8)
+        model = NetworkModel(conf)
+        params = model.init(jax.random.PRNGKey(0), 6, 1)
+        A = sp.eye(10, format="csr", dtype=np.float32)
+        adj = SparseMatrix.from_scipy(A, backend="segment")
+        x = jnp.ones((10, 6))
+        out = model.apply(params, adj, x, [adj])
+        # compare to the same network without the X layer, scaled by hand
+        conf2 = parse_network_setup("M8-MO", 3, _dense_units=8)
+        model2 = NetworkModel(conf2)
+        params2 = [p for p in params if p]
+        params2 = [params[0], {}, params[2]]
+        ref = model2.apply([params[0], params[2]], adj, x * 1.0, [adj])
+        # out = (x@W0 * 2.5) @ W1 = 2.5 * ref
+        np.testing.assert_allclose(np.asarray(out), 2.5 * np.asarray(ref),
+                                   rtol=1e-5)
+    finally:
+        del experimental_registry["scale"]
+
+
+def test_gat_attn_step(planetoid_path, tmp_path):
+    from h2gcn_tpu.run_experiments import main
+
+    args = main([
+        "GAT", "planetoid", "--dataset", "ind.cora",
+        "--dataset_path", planetoid_path, "--epochs", "2",
+        "--checkpoint_dir", str(tmp_path / "ck" / "{model}_{dataset}_{runname}"),
+    ])
+    coefs = args.objects["attn_step"](**args.objects["tensors"])
+    adj = args.objects["tensors"]["adj"]
+    assert coefs.shape[0] == adj.nnz_padded
+    a = np.asarray(coefs)
+    # attention over each node's neighborhood sums to 1 (real edges only)
+    rows = np.asarray(adj.rows)[: adj.nnz]
+    sums = np.zeros(adj.shape[0])
+    np.add.at(sums, rows, a[: adj.nnz])
+    np.testing.assert_allclose(sums[sums > 0], 1.0, atol=1e-4)
+
+
+def test_attn_step_unsupported(planetoid_path, tmp_path):
+    from h2gcn_tpu.run_experiments import main
+
+    args = main([
+        "H2GCN", "planetoid", "--dataset", "ind.cora",
+        "--dataset_path", planetoid_path, "--epochs", "1",
+        "--checkpoint_dir", str(tmp_path / "ck" / "{model}_{dataset}_{runname}"),
+    ])
+    with pytest.raises(NotImplementedError):
+        args.objects["attn_step"](**args.objects["tensors"])
