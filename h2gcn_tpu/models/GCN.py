@@ -20,6 +20,10 @@ Default hyperparameters follow the reference ``train.py`` flags
 10-epoch mean-window early stopping).
 """
 
+import jax
+import jax.numpy as jnp
+import numpy as np
+
 from .. import nn
 from ..nn.dsl import Layer
 from ..sparse import transforms
@@ -27,9 +31,79 @@ from ..sparse.transforms import NType
 from . import _runtime
 
 
+class BeliefPropagationNetwork:
+    """Linearized belief propagation over the graph (runtime interface).
+
+    ``beliefs = softmax(Σ_i S_i · log(X·H_i + ε) + log(X + ε))`` with a
+    fixed (non-trainable) class-compatibility matrix H. The reference defines
+    this layer (baselines/gcn/gcn/layers.py:196-251) but its model class is
+    missing (the latent ImportError at train.py:10) — here it actually runs.
+    Use with ``--feature_configs labels`` one-hot label priors.
+    """
+
+    def __init__(self, num_classes, h_matrix=None, homophily=None):
+        import scipy.linalg
+
+        self.num_classes = num_classes
+        if h_matrix is None:
+            if homophily is not None:
+                off = ((1 - homophily)
+                       / max(num_classes - 1, 1))
+                h_matrix = (homophily * np.eye(num_classes)
+                            + off * (np.ones((num_classes, num_classes))
+                                     - np.eye(num_classes)))
+            elif num_classes == 5:  # the reference's default circulant
+                h_matrix = scipy.linalg.circulant([0, 2 / 6, 1 / 6, 1 / 6, 2 / 6])
+            else:
+                h_matrix = (np.ones((num_classes, num_classes))
+                            - np.eye(num_classes)) / max(num_classes - 1, 1)
+        self.h_matrix = jnp.asarray(np.asarray(h_matrix, np.float32))
+        self.embedding_ind = None
+        self.output_ind = None
+
+    @property
+    def num_layers(self):
+        return 1
+
+    def init(self, rng, input_dim, num_hops=1):
+        assert input_dim == self.num_classes, (
+            "BP expects one-hot label priors (--feature_configs labels)")
+        return {"dummy": jnp.zeros((1,), jnp.float32)}  # no trainable params
+
+    def apply(self, params, adj, x, adjhops, *, training=False, rng=None,
+              capture=None, **kw):
+        from ..nn.model import _aggregate
+
+        eps = 1e-7
+        total = 0.0
+        for support in adjhops:
+            message = jnp.log(
+                jnp.matmul(x, self.h_matrix,
+                           precision=jax.lax.Precision.HIGHEST) + eps
+            )
+            total = total + _aggregate(support, message)
+        belief = total + jnp.log(x + eps)
+        out = jax.nn.softmax(belief, axis=-1)
+        if capture is not None:
+            capture["activations/0-belief_propagation"] = out
+        return out
+
+    def get_embeddings(self, params, adj, x, adjhops):
+        raise NotImplementedError
+
+    def l2_loss(self, params):
+        return jnp.float32(0.0)
+
+    def loss(self, params, logits, labels, mask):
+        from ..nn.metrics import masked_softmax_cross_entropy
+
+        return masked_softmax_cross_entropy(logits, labels, mask)
+
+
 def add_subparser_args(parser):
     group = parser.add_argument_group("GCN Model Arguments (GCN.py)")
-    group.add_argument("--variant", choices=["gcn", "cheby", "concat2", "mlp"],
+    group.add_argument("--variant",
+                       choices=["gcn", "cheby", "concat2", "mlp", "bp"],
                        default="gcn")
     group.add_argument("--hidden1", type=int, default=16)
     group.add_argument("--dropout", type=float, default=0.5)
@@ -41,6 +115,9 @@ def add_subparser_args(parser):
                        help="Chebyshev polynomial order (cheby variant)")
     group.add_argument("--cheby_eigenvalue", type=float, default=None,
                        help="Fixed largest eigenvalue (None → ARPACK)")
+    group.add_argument("--bp_homophily", type=float, default=None,
+                       help="Class-compatibility homophily for the bp "
+                            "variant (None → reference circulant/uniform)")
     group.add_argument("--optimizer", type=str, default="adam")
     group.add_argument("--best_val_criteria", choices=["val_acc", "val_loss"],
                        default="val_acc")
@@ -99,6 +176,21 @@ def build_layer_setups(variant, hidden, dropout, num_labels):
 
 def argparse_callback(args):
     dataset = args.objects["dataset"]
+    if args.variant == "bp":
+        # label priors propagate over the RW-normalized adjacency
+        supports = [
+            transforms.normalize(dataset.sparse_adj, NType.RW_NORMALIZED)
+        ]
+        tensors = dataset.get_tensors(supports=supports,
+                                      backend=args.sparse_backend)
+        args.objects["tensors"] = vars(tensors)
+        model = BeliefPropagationNetwork(dataset.num_labels,
+                                         homophily=args.bp_homophily)
+        _runtime.initialize_model(
+            args, model, args.optimizer, args.lr, args.early_stopping,
+            seed=getattr(args, "random_seed", None),
+        )
+        return
     dataset.row_normalize_features()
     if args.variant == "cheby":
         supports = transforms.chebyshev_polynomials(

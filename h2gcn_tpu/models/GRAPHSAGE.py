@@ -24,9 +24,36 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax import struct
 
 from ..nn.metrics import masked_softmax_cross_entropy
 from . import _runtime
+
+
+@struct.dataclass
+class ELLGraph:
+    """Padded ELL neighbor table — flows through jitted steps as an argument
+    (not a model-held constant) via the ``adj`` tensor slot."""
+
+    table: jax.Array  # [N, Dmax] int32 neighbor ids
+    valid: jax.Array  # [N, Dmax] bool
+    nnz: int = struct.field(pytree_node=False)
+
+    @property
+    def shape(self):
+        n = self.table.shape[0]
+        return (n, n)
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+
+        t = np.asarray(self.table)
+        v = np.asarray(self.valid)
+        rows = np.repeat(np.arange(t.shape[0]), t.shape[1])[v.ravel()]
+        cols = t.ravel()[v.ravel()]
+        return sp.csr_matrix(
+            (np.ones(rows.size, np.float32), (rows, cols)), shape=self.shape
+        )
 
 
 def build_neighbor_table(adj_csr):
@@ -39,13 +66,15 @@ def build_neighbor_table(adj_csr):
 
 
 class GraphSAGENetwork:
-    """Two-layer supervised GraphSAGE with the runtime model interface."""
+    """Two-layer supervised GraphSAGE with the runtime model interface.
 
-    def __init__(self, table, valid, num_classes, *, hid_units=128,
+    The neighbor table arrives per call as the ``adj`` argument
+    (:class:`ELLGraph`) so large tables are jit arguments, not constants.
+    """
+
+    def __init__(self, num_classes, *, hid_units=128,
                  num_samples=(5, 5), concat_jk=False, gcn_aggregator=False,
                  gcn_encoder=False):
-        self.table = table
-        self.valid = valid
         self.num_classes = num_classes
         self.hid_units = hid_units
         self.num_samples = list(num_samples)
@@ -73,10 +102,10 @@ class GraphSAGENetwork:
         }
 
     # ---------------------------------------------------------------- layers
-    def _sampled_mean(self, feats, key, num_sample):
+    def _sampled_mean(self, ell, feats, key, num_sample):
         """Mean of ≤``num_sample`` uniformly-sampled (w/o replacement)
         neighbors per node; nodes with fewer neighbors use all of them."""
-        table, valid = self.table, self.valid
+        table, valid = ell.table, ell.valid
         if self.gcn_aggregator:
             self_col = jnp.arange(table.shape[0], dtype=table.dtype)[:, None]
             table = jnp.concatenate([table, self_col], axis=1)
@@ -96,8 +125,8 @@ class GraphSAGENetwork:
         count = jnp.maximum(sel_valid.sum(axis=1, keepdims=True), 1)
         return gathered.sum(axis=1) / count.astype(feats.dtype)
 
-    def _encode(self, w, feats, key, num_sample):
-        neigh = self._sampled_mean(feats, key, num_sample)
+    def _encode(self, ell, w, feats, key, num_sample):
+        neigh = self._sampled_mean(ell, feats, key, num_sample)
         combined = neigh if self.gcn_encoder else jnp.concatenate(
             [feats, neigh], axis=1
         )
@@ -111,9 +140,9 @@ class GraphSAGENetwork:
         # The reference samples in BOTH train and eval; eval here uses a
         # fixed key so model selection is deterministic.
         key = rng if rng is not None else jax.random.PRNGKey(0)
-        h1 = self._encode(params["W1"], x, jax.random.fold_in(key, 0),
+        h1 = self._encode(adj, params["W1"], x, jax.random.fold_in(key, 0),
                           self.num_samples[0])
-        h2 = self._encode(params["W2"], h1, jax.random.fold_in(key, 1),
+        h2 = self._encode(adj, params["W2"], h1, jax.random.fold_in(key, 1),
                           self.num_samples[1])
         if capture is not None:
             capture["activations/0-enc1"] = h1
@@ -124,7 +153,7 @@ class GraphSAGENetwork:
 
     def get_embeddings(self, params, adj, x, adjhops):
         key = jax.random.PRNGKey(0)
-        return self._encode(params["W1"], x, key, self.num_samples[0])
+        return self._encode(adj, params["W1"], x, key, self.num_samples[0])
 
     def l2_loss(self, params):
         return jnp.float32(0.0)  # reference uses no weight decay
@@ -156,12 +185,15 @@ def add_subparser_args(parser):
 def argparse_callback(args):
     dataset = args.objects["dataset"]
     tensors = dataset.get_tensors(backend="segment")
-    tensors.adj_hops = []  # aggregation uses the ELL neighbor table instead
+    tensors.adj_hops = []
+    # the ELL neighbor table rides the adj tensor slot into the jitted steps
+    table, valid = build_neighbor_table(dataset.sparse_adj.tocsr())
+    tensors.adj = ELLGraph(table=table, valid=valid,
+                           nnz=int(dataset.sparse_adj.nnz))
     args.objects["tensors"] = vars(tensors)
 
-    table, valid = build_neighbor_table(dataset.sparse_adj.tocsr())
     model = GraphSAGENetwork(
-        table, valid, dataset.num_labels,
+        dataset.num_labels,
         hid_units=args.hid_units,
         num_samples=args.num_samples,
         concat_jk=(args.model_class == "SupervisedGraphSageConcat"),

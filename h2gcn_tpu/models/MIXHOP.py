@@ -83,6 +83,7 @@ class MixHopNetwork:
         self.layer_dropout = layer_dropout
         self.l2_normalize = l2_normalize
         self.batch_norm = batch_norm
+        self.nonlinearity_name = nonlinearity
         self.nonlinearity = getattr(jax.nn, nonlinearity)
         self.psum_softmax = psum_softmax
         self.embedding_ind = None
@@ -204,8 +205,51 @@ class MixHopNetwork:
         )
 
 
+def save_architecture(model: "MixHopNetwork", path):
+    """Persist the architecture as JSON (reference
+    mixhop_model.py:118-128 save/load_architecture_to_file)."""
+    import json
+
+    spec = dict(
+        powers=model.powers,
+        capacities=model.layer_capacities,
+        num_classes=model.num_classes,
+        l2reg=model.l2reg,
+        input_dropout=model.input_dropout,
+        layer_dropout=model.layer_dropout,
+        l2_normalize=model.l2_normalize,
+        batch_norm=model.batch_norm,
+        nonlinearity=model.nonlinearity_name,
+        psum_softmax=model.psum_softmax,
+    )
+    with open(path, "w") as f:
+        json.dump(spec, f, indent=2)
+    return path
+
+
+def load_architecture(path, num_classes=None) -> "MixHopNetwork":
+    import json
+
+    with open(path) as f:
+        spec = json.load(f)
+    return MixHopNetwork(
+        spec["powers"], spec["capacities"],
+        num_classes if num_classes is not None else spec["num_classes"],
+        l2reg=spec.get("l2reg", 5e-4),
+        input_dropout=spec.get("input_dropout", 0.7),
+        layer_dropout=spec.get("layer_dropout", 0.9),
+        l2_normalize=spec.get("l2_normalize", True),
+        batch_norm=spec.get("batch_norm", True),
+        nonlinearity=spec.get("nonlinearity", "relu"),
+        psum_softmax=spec.get("psum_softmax", True),
+    )
+
+
 def add_subparser_args(parser):
     group = parser.add_argument_group("MixHop Model Arguments (MIXHOP.py)")
+    group.add_argument("--architecture", type=str, default="",
+                       help="Path to a model-architecture JSON; overrides "
+                            "the architecture flags")
     group.add_argument("--hidden_dims_csv", type=str, default="60")
     group.add_argument("--adj_pows", type=str, default="1")
     group.add_argument("--nonlinearity", type=str, default="relu")
@@ -242,21 +286,25 @@ def argparse_callback(args):
                                   backend=args.sparse_backend)
     args.objects["tensors"] = vars(tensors)
 
-    parser = AdjacencyPowersParser(args.adj_pows)
-    layer_dims = [int(d) for d in args.hidden_dims_csv.split(",")]
-    layer_dims.append(parser.output_capacity(dataset.num_labels))
-    capacities = [parser.divide_capacity(j, d) for j, d in enumerate(layer_dims)]
-
-    model = MixHopNetwork(
-        parser.powers(), capacities, dataset.num_labels,
-        l2reg=args.l2reg,
-        input_dropout=args.input_dropout,
-        layer_dropout=args.layer_dropout,
-        l2_normalize=not args.no_l2_normalization,
-        batch_norm=not args.no_batch_normalization,
-        nonlinearity=args.nonlinearity,
-        psum_softmax=not args.no_psum_output,
-    )
+    if args.architecture:
+        model = load_architecture(args.architecture,
+                                  num_classes=dataset.num_labels)
+    else:
+        parser = AdjacencyPowersParser(args.adj_pows)
+        layer_dims = [int(d) for d in args.hidden_dims_csv.split(",")]
+        layer_dims.append(parser.output_capacity(dataset.num_labels))
+        capacities = [parser.divide_capacity(j, d)
+                      for j, d in enumerate(layer_dims)]
+        model = MixHopNetwork(
+            parser.powers(), capacities, dataset.num_labels,
+            l2reg=args.l2reg,
+            input_dropout=args.input_dropout,
+            layer_dropout=args.layer_dropout,
+            l2_normalize=not args.no_l2_normalization,
+            batch_norm=not args.no_batch_normalization,
+            nonlinearity=args.nonlinearity,
+            psum_softmax=not args.no_psum_output,
+        )
 
     # linear LR decrement every k steps by ratio·lr0, floored at 0
     lr0 = args.learn_rate
@@ -278,3 +326,12 @@ def argparse_callback(args):
         seed=getattr(args, "random_seed", None),
         es_metric="val_acc",
     )
+
+    def save_arch_callback(**kwargs):
+        from pathlib import Path
+
+        path = Path(args.objects["checkpoint_dir"]) / "architecture.json"
+        save_architecture(model, path)
+        print(f"===> MixHop architecture saved to {path}")
+
+    args.objects["pretrain_callbacks"].append(save_arch_callback)

@@ -18,6 +18,7 @@ TPU-first differences from the reference:
 
 from __future__ import annotations
 
+import functools
 import json
 import operator
 
@@ -189,6 +190,75 @@ def initialize_model(args, model, optimizer_name, lr, early_stopping,
     args.objects["predict_step"] = predict_step
     args.objects["embed_step"] = embed_step
     args.objects["attn_step"] = attn_step
+
+    # ---- blocked epoch execution (--epochs_per_block K) ------------------
+    # TPU-throughput mode: K epochs run as ONE lax.scan'd XLA program with
+    # the best-validation parameters tracked ON DEVICE (best_params carry),
+    # so host round-trips drop from 2K dispatches + K stat readbacks to one
+    # of each per block. Early stopping is still evaluated per epoch on the
+    # host from the stacked stats; if it fires mid-block, model selection
+    # may see up to K-1 extra epochs (documented deviation).
+    def _epoch_body(carry, epoch_idx, adj, adj_hops, features, y_train,
+                    train_mask, y_val, val_mask, y_test, test_mask):
+        params, opt_state, best_params, best_crit = carry
+        rng = jax.random.fold_in(rng_base, epoch_idx)
+
+        def loss_fn(p):
+            logits = model.apply(p, adj, features, adj_hops, training=True,
+                                 rng=rng)
+            return model.loss(p, logits, y_train, train_mask)
+
+        train_loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+        logits = model.apply(params, adj, features, adj_hops, training=False)
+        stats = dict(
+            train_loss=train_loss,
+            train_acc=masked_accuracy(logits, y_train, train_mask),
+            val_acc=masked_accuracy(logits, y_val, val_mask),
+            test_accuracy=masked_accuracy(logits, y_test, test_mask),
+            val_loss=model.loss(params, logits, y_val, val_mask),
+            test_loss=masked_softmax_cross_entropy(logits, y_test, test_mask),
+        )
+        crit = (stats["val_acc"] if args.best_val_criteria == "val_acc"
+                else -stats["val_loss"])
+        better = crit >= best_crit  # ties → later epoch, like the reference
+        best_params = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(better, new, old), params, best_params
+        )
+        best_crit = jnp.where(better, crit, best_crit)
+        return (params, opt_state, best_params, best_crit), stats
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def _train_block(carry, start_epoch, k, adj, adj_hops, features, y_train,
+                     train_mask, y_val, val_mask, y_test, test_mask):
+        def body(c, idx):
+            return _epoch_body(c, idx, adj, adj_hops, features, y_train,
+                               train_mask, y_val, val_mask, y_test, test_mask)
+
+        return jax.lax.scan(body, carry,
+                            start_epoch + jnp.arange(k, dtype=jnp.int32))
+
+    def train_block(k, start_epoch, adj, adj_hops, features, y_train,
+                    train_mask, y_val, val_mask, y_test, test_mask, **kwargs):
+        carry = args.objects.get("block_carry")
+        if carry is None:
+            st = args.objects["state"]
+            crit0 = jnp.float32(-jnp.inf)
+            carry = (st["params"], st["opt_state"], st["params"], crit0)
+        carry, stats = _train_block(
+            carry, jnp.int32(start_epoch), k, adj, adj_hops, features,
+            y_train, train_mask, y_val, val_mask, y_test, test_mask,
+        )
+        args.objects["block_carry"] = carry
+        params, opt_state, best_params, _ = carry
+        args.objects["state"] = {"params": params, "opt_state": opt_state}
+        args.objects["best_state"] = {"params": best_params,
+                                      "opt_state": opt_state}
+        return {key: np.asarray(v) for key, v in stats.items()}
+
+    args.objects["train_block"] = train_block
     _register_protocol(args, model, test_step, early_stopping, es_metric)
 
 

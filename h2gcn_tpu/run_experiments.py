@@ -29,6 +29,11 @@ def main(argv=None):
                         help="Write a jax.profiler trace of epochs 3-5 here")
     parser.add_argument("--timing", action="store_true", dest="_timing",
                         help="Record per-epoch wall time and edges/s")
+    parser.add_argument("--epochs_per_block", type=int, default=1,
+                        dest="_epochs_per_block",
+                        help="Run K epochs per compiled block (lax.scan) "
+                             "with device-side best-val tracking — one "
+                             "dispatch + one stats readback per K epochs")
     parser.add_argument("--mesh_shards", type=int, default=0,
                         dest="_mesh_shards",
                         help="Train distributed over an N-device mesh "
@@ -71,6 +76,10 @@ def main(argv=None):
 
     import time as _time
 
+    block_k = getattr(args, "_epochs_per_block", 1) or 1
+    if block_k > 1 and "train_block" in args.objects:
+        return _blocked_loop(args, block_k)
+
     args.current_epoch = 0
     while args.current_epoch < args.epochs:
         args.current_epoch += 1
@@ -112,6 +121,59 @@ def main(argv=None):
         print(f"===> Timing: {len(times)} epochs, "
               f"median {1e3 * sorted(steady)[len(steady) // 2]:.2f} ms/epoch "
               f"(first epoch {1e3 * times[0]:.1f} ms incl. compile)")
+    return args
+
+
+def _blocked_loop(args, k):
+    """K-epochs-per-dispatch training (see --epochs_per_block).
+
+    Replays the epoch protocol on the host from the stacked per-epoch stats:
+    same stat lines, sliding-mean early stopping, and best-val bookkeeping
+    (parameters at the best epoch are tracked on device inside the block).
+    """
+    import operator
+    import time as _time
+
+    stats_printer = args.objects["statsPrinter"]
+    early_stopping = args.objects["early_stopping"]
+    op = operator.ge if args.best_val_criteria == "val_acc" else operator.le
+
+    t0 = _time.perf_counter()
+    args.current_epoch = 0
+    stopped = False
+    while args.current_epoch < args.epochs and not stopped:
+        stack = args.objects["train_block"](
+            k, args.current_epoch + 1, **args.objects["tensors"]
+        )
+        n_avail = len(next(iter(stack.values())))
+        for i in range(n_avail):
+            if args.current_epoch >= args.epochs:
+                break
+            args.current_epoch += 1
+            epoch_stats = {key: v[i] for key, v in stack.items()}
+            epoch_stats["monitor"] = dict()
+            args.objects["epoch_stats"] = epoch_stats
+            stats_printer(args.current_epoch, epoch_stats)
+            best = args.objects["best_val_stats"]
+            if best is None or op(float(epoch_stats[args.best_val_criteria]),
+                                  float(best[args.best_val_criteria])):
+                new_best = dict(epoch_stats)
+                new_best["epoch"] = args.current_epoch
+                new_best["ckpt"] = None
+                args.objects["best_val_stats"] = new_best
+            if early_stopping(epoch_stats["val_loss"]):
+                print("Early stopping...")
+                args.epochs = args.current_epoch
+                stopped = True
+                break
+
+    wall = _time.perf_counter() - t0
+    print(f"===> Blocked training: {args.current_epoch} epochs in "
+          f"{wall:.2f}s ({1e3 * wall / max(args.current_epoch, 1):.2f} "
+          f"ms/epoch incl. compile)")
+    while len(args.objects["post_train_callbacks"]) > 0:
+        func = args.objects["post_train_callbacks"].popleft()
+        func(args)
     return args
 
 

@@ -108,6 +108,9 @@ class SparseMatrix:
     def to_scipy(self):
         import scipy.sparse as sp
 
+        if self.nnz > self.rows.shape[0] and self.dense is not None:
+            # dense-backend matrices carry trimmed COO placeholders
+            return sp.csr_matrix(np.asarray(self.dense, dtype=np.float32))
         r = np.asarray(self.rows)[: self.nnz]
         c = np.asarray(self.cols)[: self.nnz]
         v = np.asarray(self.vals)[: self.nnz]
@@ -162,15 +165,33 @@ class SparseMatrix:
         symmetric = bool(n == m and (abs(csr - csr.T)).nnz == 0)
 
         if backend == "auto":
-            backend = "dense" if max(n, m) <= _DENSE_AUTO_MAX_DIM else "bsr"
+            density = nnz / max(n * m, 1)
+            if max(n, m) <= _DENSE_AUTO_MAX_DIM:
+                backend = "dense"
+            elif max(n, m) <= 4 * _DENSE_AUTO_MAX_DIM and density >= 0.01:
+                # dense-ish mid-size matrices (e.g. exact-2-hop neighborhoods
+                # of heterophily graphs): the MXU matmul beats block-sparse
+                backend = "dense"
+            else:
+                backend = "bsr"
 
-        pad = max(_NNZ_BUCKET, int(math.ceil(max(nnz, 1) / _NNZ_BUCKET)) * _NNZ_BUCKET)
-        rows = np.full(pad, n - 1, dtype=np.int32)
-        cols = np.full(pad, m - 1, dtype=np.int32)
-        vals = np.zeros(pad, dtype=dtype)
-        rows[:nnz] = coo.row
-        cols[:nnz] = coo.col
-        vals[:nnz] = coo.data
+        if backend == "dense":
+            # the dense payload is authoritative; keep only no-op COO
+            # placeholders so the pytree (and per-dispatch arg marshalling)
+            # stays small
+            pad = 8
+            rows = np.full(pad, n - 1, dtype=np.int32)
+            cols = np.full(pad, m - 1, dtype=np.int32)
+            vals = np.zeros(pad, dtype=dtype)
+        else:
+            pad = max(_NNZ_BUCKET,
+                      int(math.ceil(max(nnz, 1) / _NNZ_BUCKET)) * _NNZ_BUCKET)
+            rows = np.full(pad, n - 1, dtype=np.int32)
+            cols = np.full(pad, m - 1, dtype=np.int32)
+            vals = np.zeros(pad, dtype=dtype)
+            rows[:nnz] = coo.row
+            cols[:nnz] = coo.col
+            vals[:nnz] = coo.data
 
         dense = None
         bsr = None

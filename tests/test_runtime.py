@@ -105,3 +105,31 @@ def test_e2e_mlp(planetoid_path, tmp_path):
         "--checkpoint_dir", str(tmp_path / "ckpt" / "{model}_{dataset}_{runname}"),
     ])
     assert float(args.objects["best_val_stats"]["test_accuracy"]) > 0.45
+
+
+@pytest.mark.slow
+def test_blocked_epochs_match_per_epoch(planetoid_path, tmp_path):
+    """--epochs_per_block must reproduce the per-epoch path's selection."""
+    from h2gcn_tpu.run_experiments import main
+
+    common = [
+        "H2GCN", "planetoid", "--dataset", "ind.cora",
+        "--dataset_path", planetoid_path, "--epochs", "40",
+    ]
+    a1 = main(common + [
+        "--checkpoint_dir", str(tmp_path / "a" / "{model}_{dataset}_{runname}"),
+    ])
+    a2 = main(common + [
+        "--epochs_per_block", "16",
+        "--checkpoint_dir", str(tmp_path / "b" / "{model}_{dataset}_{runname}"),
+    ])
+    b1, b2 = a1.objects["best_val_stats"], a2.objects["best_val_stats"]
+    assert b1["epoch"] == b2["epoch"]
+    np.testing.assert_allclose(float(b1["test_accuracy"]),
+                               float(b2["test_accuracy"]), atol=1e-5)
+    # device-tracked best params == per-epoch best params
+    p1 = a1.objects["best_state"]["params"]
+    p2 = a2.objects["best_state"]["params"]
+    for x, y in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
