@@ -203,6 +203,12 @@ def add_subparser_args(parser):
     group.add_argument("--in_drop", default=0.6, type=float)
     group.add_argument("--attn_drop", default=0.6, type=float)
     group.add_argument("--residual", default=False, action="store_true")
+    group.add_argument("--nhood", default=1, type=float,
+                       help="Attention neighborhood radius: k-hop "
+                            "reachability mask (1 = standard GAT; inf = "
+                            "attention over all node pairs). Reference "
+                            "dense-GAT adj_to_bias semantics "
+                            "(utils/process.py:15-32, execute_cora.py)")
     group.add_argument("--patience", default=100, type=int)
     group.add_argument("--optimizer", type=str, default="adam")
     group.add_argument("--no_feature_normalize", action="store_true")
@@ -233,12 +239,23 @@ def argparse_callback(args):
         dataset.row_normalize_features()
     tensors = dataset.get_tensors(backend="segment")
     tensors.adj_hops = []
-    # attention support: self-looped binary adjacency, replacing the raw
+    # attention support: k-hop self-looped reachability, replacing the raw
     # adjacency in the tensor dict so it flows into the jitted step as an
-    # argument (reference utils/process.py:122-131 preprocess_adj_bias)
-    tensors.adj = SparseMatrix.from_scipy(
-        transforms.add_eye(dataset.sparse_adj), backend="segment"
-    )
+    # argument (reference utils/process.py:15-32 adj_to_bias /
+    # :122-131 preprocess_adj_bias)
+    import numpy as _np
+    import scipy.sparse as _sp
+
+    if _np.isinf(args.nhood):
+        support = _sp.csr_matrix(
+            _np.ones((dataset.num_samples, dataset.num_samples), _np.float32)
+        )
+    elif args.nhood == 1:
+        support = transforms.add_eye(dataset.sparse_adj)
+    else:
+        hops = transforms.nhood_split(dataset.sparse_adj, int(args.nhood))
+        support = transforms.add_eye(sum(hops[1:]))
+    tensors.adj = SparseMatrix.from_scipy(support, backend="segment")
     args.objects["tensors"] = vars(tensors)
 
     model = GATNetwork(

@@ -133,3 +133,25 @@ def test_blocked_epochs_match_per_epoch(planetoid_path, tmp_path):
     for x, y in zip(jax.tree_util.tree_leaves(p1),
                     jax.tree_util.tree_leaves(p2)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_ckpt_every_epoch_restore(planetoid_path, tmp_path):
+    """--ckpt_every_epoch writes per-epoch snapshots and restores the best
+    from disk (reference save-every/restore-best cycle)."""
+    from h2gcn_tpu.run_experiments import main
+
+    ckpt_root = tmp_path / "ck"
+    args = main([
+        "H2GCN", "planetoid", "--dataset", "ind.cora",
+        "--dataset_path", planetoid_path, "--epochs", "8",
+        "--ckpt_every_epoch",
+        "--checkpoint_dir", str(ckpt_root / "{model}_{dataset}_{runname}"),
+    ])
+    best = args.objects["best_val_stats"]
+    assert best["ckpt"] is not None
+    run_dir = next(ckpt_root.iterdir())
+    # only best + last + final snapshots remain (intermediates removed)
+    snapshots = [d for d in run_dir.iterdir() if (d / "ckpt.npz").exists()]
+    assert 1 <= len(snapshots) <= 3
+    assert any(best["ckpt"] in d.name for d in snapshots)
