@@ -78,7 +78,11 @@ def main(argv=None):
 
     block_k = getattr(args, "_epochs_per_block", 1) or 1
     if block_k > 1 and "train_block" in args.objects:
-        return _blocked_loop(args, block_k)
+        if args.objects["pre_epoch_callbacks"]:
+            print("===> --epochs_per_block ignored: model registered "
+                  "per-epoch callbacks (e.g. minibatch re-masking)")
+        else:
+            return _blocked_loop(args, block_k)
 
     args.current_epoch = 0
     while args.current_epoch < args.epochs:
