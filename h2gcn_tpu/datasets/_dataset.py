@@ -289,6 +289,17 @@ class PlanetoidData:
         def _hop_groups(spec):
             return [[int(x) for x in elem.split(",")] for elem in spec]
 
+        def _pad_splits(splits, kmax):
+            # nhood_split terminates early when reachability saturates
+            # (transforms.py); missing exact-hop levels are empty matrices
+            # (no node has a neighbor at that exact distance). The reference
+            # would crash with IndexError here (_dataset.py:571) — padding
+            # with zero matrices is the correct semantics.
+            n = self.num_samples
+            while len(splits) < kmax + 1:
+                splits.append(sp.csr_matrix((n, n), dtype=splits[0].dtype))
+            return splits
+
         if supports is not None:
             t.adj_hops = [
                 SparseMatrix.from_scipy(m.astype(dtype), backend=backend)
@@ -297,7 +308,9 @@ class PlanetoidData:
         if get_adj_hops:
             groups = _hop_groups(get_adj_hops)
             kmax = max(chain(*groups))
-            splits = transforms.nhood_split(self.sparse_adj, kmax)
+            splits = _pad_splits(
+                transforms.nhood_split(self.sparse_adj, kmax), kmax
+            )
             merged = np.stack(
                 [np.asarray(sum(splits[i] for i in g).todense()) for g in groups],
                 axis=1,
@@ -312,7 +325,9 @@ class PlanetoidData:
                 )
                 normed = [sum(splits[i] for i in g) for g in groups]
             else:
-                splits = transforms.nhood_split(self.sparse_adj, kmax)
+                splits = _pad_splits(
+                transforms.nhood_split(self.sparse_adj, kmax), kmax
+            )
                 summed = [sum(splits[i] for i in g) for g in groups]
                 normed = [transforms.normalize(m, norm_type) for m in summed]
             t.adj_hops = [

@@ -307,8 +307,9 @@ class SparseGraphData:
 
         n = adj.shape[0]
         num_labels = int(labels.max()) + 1
+        labeled = labels >= 0  # -1 marks unknown labels; keep their rows zero
         y_all = np.zeros((n, num_labels))
-        y_all[np.arange(n), labels] = 1
+        y_all[np.nonzero(labeled)[0], labels[labeled]] = 1
 
         if setting == "exist":
             with np.load(str(npz_path), allow_pickle=True) as loader:
@@ -317,10 +318,11 @@ class SparseGraphData:
                 idx_test = loader["idx_test"]
         else:
             rng = np.random.RandomState(seed)
-            perm = rng.permutation(n)
-            n_train = int(np.round(train_ratio * n))
+            pool = np.nonzero(labeled)[0]
+            perm = pool[rng.permutation(len(pool))]
+            n_train = int(np.round(train_ratio * len(pool)))
             n_val = (val_size if val_size is not None
-                     else int(np.round(val_ratio * n)))
+                     else int(np.round(val_ratio * len(pool))))
             idx_train = perm[:n_train]
             idx_val = perm[n_train:n_train + n_val]
             idx_test = perm[n_train + n_val:]
@@ -330,8 +332,9 @@ class SparseGraphData:
                            ("test", idx_test)):
             mask = np.zeros(n, dtype=bool)
             mask[np.asarray(idx, dtype=np.int64)] = True
+            mask &= labeled  # unlabeled nodes are non-valid in every split
             masks[scope] = mask
-        wild = ~(masks["train"] | masks["val"] | masks["test"])
+        wild = ~(masks["train"] | masks["val"] | masks["test"]) & labeled
 
         if sp.isspmatrix(features):
             features = features.tocsr()

@@ -310,8 +310,7 @@ def split_generated(job: Job) -> bool:
 
 
 def generate_split(job: Job):
-    _, _, ally = load_graph_artifacts(job)
-    adj_lists, _, _ = load_graph_artifacts(job)
+    adj_lists, _, ally = load_graph_artifacts(job)
     for feature_job, split_job, fg_name, files in feature_split_iter(job):
         if split_job.doc.get("disabled", False):
             continue

@@ -92,18 +92,15 @@ class GATNetwork:
             layers.append(heads)
         return {"layers": layers}
 
-    def _attn_head(self, p, x, adj, *, training, key, capture_alpha=False):
+    def _attn_head(self, p, x, adj, *, training, key, capture_alpha=None):
         rows, cols = adj.rows, adj.cols
         edge_valid = adj.vals > 0  # padding entries carry value 0
         n = adj.shape[0]
 
+        from ..nn.ops import dropout as _dropout
+
         def dropout(v, rate, salt):
-            if training and key is not None and rate > 0:
-                k = jax.random.fold_in(key, salt)
-                keep = 1.0 - rate
-                m = jax.random.bernoulli(k, keep, v.shape)
-                return jnp.where(m, v / keep, 0.0)
-            return v
+            return _dropout(v, rate, key, salt, training=training)
 
         x = dropout(x, self.in_drop, 0)
         h = jnp.matmul(x, p["W"], precision=jax.lax.Precision.HIGHEST)
@@ -118,23 +115,29 @@ class GATNetwork:
             num_segments=n, indices_are_sorted=True,
         )
         out = out + p["bias"]
-        if capture_alpha:
-            self.last_attn_coefs = alpha
+        if capture_alpha is not None:
+            capture_alpha.append(alpha)
         return out
 
     def apply(self, params, adj, x, adjhops, *, training=False, rng=None,
               capture=None, **kw):
         h = x
         n_layers = len(params["layers"])
+        # attention coefficients for EVERY layer and head (the reference's
+        # getAttnCoeff returns a per-attention-layer list, H2GCN.py:355-360)
+        all_alphas = [] if capture is not None else None
         for li, heads in enumerate(params["layers"]):
             outs = []
+            layer_alphas = [] if capture is not None else None
             for hi, p in enumerate(heads):
                 key = (jax.random.fold_in(rng, li * 1000 + hi)
                        if rng is not None else None)
                 outs.append(self._attn_head(
                     p, h, adj, training=training, key=key,
-                    capture_alpha=(capture is not None and li == n_layers - 1),
+                    capture_alpha=layer_alphas,
                 ))
+            if capture is not None:
+                all_alphas.append(jnp.stack(layer_alphas))
             if li < n_layers - 1:
                 new_h = jnp.concatenate([jax.nn.elu(o) for o in outs], axis=1)
                 if self.residual and new_h.shape[1] == h.shape[1]:
@@ -144,6 +147,8 @@ class GATNetwork:
                 h = sum(outs) / len(outs)  # output heads averaged, no act
             if capture is not None:
                 capture[f"activations/{li}-gat"] = h
+        if capture is not None:
+            self.last_attn_coefs = all_alphas
         return h
 
     def get_embeddings(self, params, adj, x, adjhops):

@@ -75,12 +75,12 @@ class BeliefPropagationNetwork:
         from ..nn.model import _aggregate
 
         eps = 1e-7
+        message = jnp.log(
+            jnp.matmul(x, self.h_matrix,
+                       precision=jax.lax.Precision.HIGHEST) + eps
+        )
         total = 0.0
         for support in adjhops:
-            message = jnp.log(
-                jnp.matmul(x, self.h_matrix,
-                           precision=jax.lax.Precision.HIGHEST) + eps
-            )
             total = total + _aggregate(support, message)
         belief = total + jnp.log(x + eps)
         out = jax.nn.softmax(belief, axis=-1)

@@ -135,15 +135,12 @@ class MixHopNetwork:
 
     def apply(self, params, adj, x, adjhops, *, training=False, rng=None,
               capture=None, **kw):
+        from ..nn.ops import dropout as _dropout
+
         support = adjhops[0] if adjhops else adj
 
         def dropout(v, rate, salt):
-            if training and rng is not None and rate > 0:
-                k = jax.random.fold_in(rng, salt)
-                keep = 1.0 - rate
-                mask = jax.random.bernoulli(k, keep, v.shape)
-                return jnp.where(mask, v / keep, 0.0)
-            return v
+            return _dropout(v, rate, rng, salt, training=training)
 
         h = dropout(x, self.input_dropout, 0)
         if self.l2_normalize:

@@ -270,6 +270,7 @@ def _register_protocol(args, model, test_step, early_stopping, es_metric):
     args.objects["statsPrinter"] = stats_printer
     args.objects["best_val_stats"] = None
     args.objects["current_ckpt"] = None
+    args.objects["es_metric"] = es_metric
     if isinstance(early_stopping, int):
         args.objects["early_stopping"] = controller.SlidingMeanEarlyStopping(
             early_stopping

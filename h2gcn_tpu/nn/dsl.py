@@ -92,6 +92,8 @@ def parse_network_setup(
             conf.append((Layer.VECTORIZE, {}))
         elif tok[0] == "I":
             conf.append((Layer.IDENTITY, {}))
+        elif tok == "SG":
+            conf.append((Layer.STOP_GRADIENT, {}))
         elif tok[0] == "S":
             m = re.search(r"^S([^_]*)(?:_|$)((?:[^_]*(?:_|$))*)", tok)
             tag = m.group(1) or None

@@ -214,11 +214,10 @@ class NetworkModel:
                     params[ind] = p
                 x = _dense_apply(params[ind], x)
             elif kind == Layer.DROPOUT:
-                if training and rng is not None and conf["dropout_rate"] > 0:
-                    keep = 1.0 - conf["dropout_rate"]
-                    k = jax.random.fold_in(rng, ind)
-                    mask = jax.random.bernoulli(k, keep, x.shape)
-                    x = jnp.where(mask, x / keep, 0.0)
+                from .ops import dropout
+
+                x = dropout(x, conf["dropout_rate"], rng, ind,
+                            training=training)
             elif kind == Layer.GCN:
                 hops = conf.get("hops")
                 parts = [

@@ -140,14 +140,18 @@ def _blocked_loop(args, k):
 
     stats_printer = args.objects["statsPrinter"]
     early_stopping = args.objects["early_stopping"]
+    es_metric = args.objects.get("es_metric", "val_loss")
     op = operator.ge if args.best_val_criteria == "val_acc" else operator.le
 
     t0 = _time.perf_counter()
     args.current_epoch = 0
     stopped = False
     while args.current_epoch < args.epochs and not stopped:
+        # tail blocks shrink so device-side best tracking never sees epochs
+        # past --epochs (one extra compile for the final partial block)
+        k_eff = min(k, args.epochs - args.current_epoch)
         stack = args.objects["train_block"](
-            k, args.current_epoch + 1, **args.objects["tensors"]
+            k_eff, args.current_epoch + 1, **args.objects["tensors"]
         )
         n_avail = len(next(iter(stack.values())))
         for i in range(n_avail):
@@ -165,7 +169,7 @@ def _blocked_loop(args, k):
                 new_best["epoch"] = args.current_epoch
                 new_best["ckpt"] = None
                 args.objects["best_val_stats"] = new_best
-            if early_stopping(epoch_stats["val_loss"]):
+            if early_stopping(epoch_stats[es_metric]):
                 print("Early stopping...")
                 args.epochs = args.current_epoch
                 stopped = True

@@ -108,8 +108,8 @@ class SparseMatrix:
     def to_scipy(self):
         import scipy.sparse as sp
 
-        if self.nnz > self.rows.shape[0] and self.dense is not None:
-            # dense-backend matrices carry trimmed COO placeholders
+        if self.backend == "dense" and self.dense is not None:
+            # dense payload is authoritative (COO is a trimmed placeholder)
             return sp.csr_matrix(np.asarray(self.dense, dtype=np.float32))
         r = np.asarray(self.rows)[: self.nnz]
         c = np.asarray(self.cols)[: self.nnz]

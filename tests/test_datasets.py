@@ -95,3 +95,31 @@ def test_feature_configs(cora):
     assert feats[cora.train_mask].sum() == cora.train_mask.sum()
     assert feats[~cora.train_mask].sum() == 0
     cora.reload_data()
+
+
+def test_hop_saturation_pads_empty_matrices():
+    import scipy.sparse as sp
+
+    from h2gcn_tpu.datasets._dataset import PlanetoidData
+
+    # complete graph: reachability saturates at hop 1, so exact-2-hop is empty
+    class _Tiny(PlanetoidData):
+        def __init__(self):
+            self._sparse_data = {}
+            self._dense_data = {}
+            n = 5
+            A = sp.csr_matrix(np.ones((n, n), np.float32)
+                              - np.eye(n, dtype=np.float32))
+            self._sparse_data["sparse_adj"] = A
+            self._sparse_data["features"] = sp.eye(n, format="csr")
+            self._dense_data["y_all"] = np.eye(n)[:, :2]
+            for s in ("train", "val", "test", "wild"):
+                self._dense_data[f"{s}_mask"] = np.zeros(n, bool)
+                self._dense_data[f"y_{s}"] = np.zeros((n, 2))
+            self._preprocessed_adj = None
+            self._preprocessed_feature = None
+
+    ds = _Tiny()
+    t = ds.get_tensors(get_adj_norm_hops=["1", "2"], backend="segment")
+    assert len(t.adj_hops) == 2
+    assert t.adj_hops[1].nnz == 0  # exact-2-hop is empty, not a crash

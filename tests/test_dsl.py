@@ -68,3 +68,28 @@ def test_double_embedding_rejected():
 def test_unknown_token_rejected():
     with pytest.raises(ValueError):
         parse_network_setup("M8-Q", 3, _dense_units=8)
+
+
+def test_stop_gradient_token():
+    conf = parse_network_setup("M8-SG-MO", 3, _dense_units=8)
+    assert conf[1][0] == Layer.STOP_GRADIENT
+    # and it actually blocks gradients through the first dense
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import scipy.sparse as sp
+
+    from h2gcn_tpu.nn import NetworkModel
+    from h2gcn_tpu.sparse import SparseMatrix
+
+    model = NetworkModel(conf)
+    params = model.init(jax.random.PRNGKey(0), 4, 1)
+    adj = SparseMatrix.from_scipy(sp.eye(6, format="csr"), backend="segment")
+    x = jnp.ones((6, 4))
+
+    def loss(p):
+        return jnp.sum(model.apply(p, adj, x, [adj]) ** 2)
+
+    grads = jax.grad(loss)(params)
+    assert np.allclose(np.asarray(grads[0]["kernel"]), 0.0)  # blocked
+    assert not np.allclose(np.asarray(grads[2]["kernel"]), 0.0)

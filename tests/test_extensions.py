@@ -54,9 +54,11 @@ def test_gat_attn_step(planetoid_path, tmp_path):
     ])
     coefs = args.objects["attn_step"](**args.objects["tensors"])
     adj = args.objects["tensors"]["adj"]
-    assert coefs.shape[0] == adj.nnz_padded
-    a = np.asarray(coefs)
+    assert len(coefs) == 2            # one entry per attention layer
+    assert coefs[0].shape[0] == 8     # 8 heads in layer 1
+    assert coefs[1].shape == (1, adj.nnz_padded)
     # attention over each node's neighborhood sums to 1 (real edges only)
+    a = np.asarray(coefs[1][0])
     rows = np.asarray(adj.rows)[: adj.nnz]
     sums = np.zeros(adj.shape[0])
     np.add.at(sums, rows, a[: adj.nnz])

@@ -86,3 +86,11 @@ def test_todense(random_graph):
     sm = SparseMatrix.from_scipy(A, backend="segment")
     np.testing.assert_allclose(np.asarray(sm.todense()), A.toarray())
     np.testing.assert_allclose(sm.to_scipy().toarray(), A.toarray())
+
+
+def test_dense_backend_to_scipy_small_nnz():
+    # regression: dense-backend matrices with tiny nnz must round-trip
+    A = sp.eye(4, format="csr") * 2.0
+    sm = SparseMatrix.from_scipy(A, backend="dense")
+    assert sm.to_scipy().sum() == 8.0
+    np.testing.assert_allclose(sm.to_scipy().toarray(), A.toarray())
