@@ -42,8 +42,10 @@ def _aggregate(a, x):
     """SpMM dispatch: single-chip SparseMatrix or shard_map-local shard."""
     from ..parallel.dist import (
         DistSparseMatrix,
+        HaloShardedMatrix,
         RingShardedMatrix,
         dist_spmm,
+        dist_spmm_halo,
         dist_spmm_ring,
     )
 
@@ -51,6 +53,8 @@ def _aggregate(a, x):
         return dist_spmm(a, x)
     if isinstance(a, RingShardedMatrix):
         return dist_spmm_ring(a, x)
+    if isinstance(a, HaloShardedMatrix):
+        return dist_spmm_halo(a, x)
     return spmm(a, x)
 
 

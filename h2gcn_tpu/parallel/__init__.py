@@ -9,18 +9,22 @@ collectives inside ``shard_map``.
 
 from .dist import (
     DistSparseMatrix,
+    HaloShardedMatrix,
     RingShardedMatrix,
     ShardedMatrix,
     dist_spmm,
+    dist_spmm_halo,
     dist_spmm_ring,
     shard_hops,
     shard_matrix,
+    shard_matrix_halo,
     shard_matrix_ring,
 )
 from .mesh import make_mesh
 
 __all__ = [
-    "DistSparseMatrix", "RingShardedMatrix", "ShardedMatrix",
-    "dist_spmm", "dist_spmm_ring", "shard_hops", "shard_matrix",
-    "shard_matrix_ring", "make_mesh",
+    "DistSparseMatrix", "HaloShardedMatrix", "RingShardedMatrix",
+    "ShardedMatrix", "dist_spmm", "dist_spmm_halo", "dist_spmm_ring",
+    "shard_hops", "shard_matrix", "shard_matrix_halo", "shard_matrix_ring",
+    "make_mesh",
 ]

@@ -243,6 +243,118 @@ def dist_spmm_ring(rsm: RingShardedMatrix, x_local: jax.Array) -> jax.Array:
     return out
 
 
+@struct.dataclass
+class HaloShardedMatrix:
+    """Row-sharded matrix with precomputed boundary (halo) exchange tables.
+
+    The true scalable design: instead of gathering ALL node features
+    (all_gather) or rotating full chunks (ring), every device exchanges only
+    the boundary rows its neighbors actually reference — one ``all_to_all``
+    of ``[D, H, F]`` where ``H`` is the max per-pair halo size. Edge columns
+    are pre-remapped into the receive buffer, so aggregation after the
+    exchange is a plain local segment reduce.
+
+    Leading axis = device (consumed by shard_map).
+    """
+
+    rows: jax.Array       # [D, E_pad] int32 local dest rows, sorted
+    cols_halo: jax.Array  # [D, E_pad] int32 indices into the recv buffer
+    vals: jax.Array       # [D, E_pad] float32
+    send_idx: jax.Array   # [D(owner), D(dest), H] int32 local rows to send
+    n_local: int = struct.field(pytree_node=False)
+    n_global: int = struct.field(pytree_node=False)
+    halo: int = struct.field(pytree_node=False)
+    axis: str = struct.field(pytree_node=False, default=GRAPH_AXIS)
+
+    def local(self) -> "HaloShardedMatrix":
+        return HaloShardedMatrix(
+            rows=self.rows[0], cols_halo=self.cols_halo[0],
+            vals=self.vals[0], send_idx=self.send_idx[0],
+            n_local=self.n_local, n_global=self.n_global, halo=self.halo,
+            axis=self.axis,
+        )
+
+
+def shard_matrix_halo(
+    mat, num_shards: int, axis: str = GRAPH_AXIS
+) -> Tuple[HaloShardedMatrix, int]:
+    """Row-partition + boundary-exchange tables (host-side precompute)."""
+    import scipy.sparse as sp
+
+    csr = sp.csr_matrix(mat).astype(np.float32)
+    n = csr.shape[0]
+    n_local = -(-n // num_shards)
+    n_pad = n_local * num_shards
+    D = num_shards
+
+    blocks = []
+    needed = [[None] * D for _ in range(D)]  # needed[d][s] = global cols
+    max_e, max_h = 1, 1
+    for d in range(D):
+        lo, hi = d * n_local, min((d + 1) * n_local, n)
+        block = csr[lo:hi].tocoo() if lo < n else sp.coo_matrix((0, n))
+        blocks.append(block)
+        max_e = max(max_e, block.nnz)
+        src_shard = block.col // n_local
+        for s in range(D):
+            u = np.unique(block.col[src_shard == s])
+            needed[d][s] = u
+            max_h = max(max_h, len(u))
+    e_pad = int(math.ceil(max_e / _EDGE_BUCKET)) * _EDGE_BUCKET
+    h_pad = int(math.ceil(max_h / 8)) * 8
+
+    rows = np.full((D, e_pad), n_local - 1, np.int32)
+    cols_halo = np.zeros((D, e_pad), np.int32)
+    vals = np.zeros((D, e_pad), np.float32)
+    send_idx = np.zeros((D, D, h_pad), np.int32)
+
+    for d in range(D):
+        block = blocks[d]
+        order = np.lexsort((block.col, block.row))
+        r, c, v = block.row[order], block.col[order], block.data[order]
+        # remap each edge's global col into the recv-buffer layout
+        # [src_shard * h_pad + position within needed[d][src_shard]]
+        remapped = np.zeros(len(c), np.int64)
+        src_shard = c // n_local
+        for s in range(D):
+            sel = src_shard == s
+            if not sel.any():
+                continue
+            pos = np.searchsorted(needed[d][s], c[sel])
+            remapped[sel] = s * h_pad + pos
+        e = block.nnz
+        rows[d, :e] = r
+        cols_halo[d, :e] = remapped
+        vals[d, :e] = v
+        # what THIS shard must send to each destination: dest's needed rows
+        for dest in range(D):
+            u = needed[dest][d]
+            send_idx[d, dest, : len(u)] = u - d * n_local
+
+    return (
+        HaloShardedMatrix(
+            rows=jnp.asarray(rows), cols_halo=jnp.asarray(cols_halo),
+            vals=jnp.asarray(vals), send_idx=jnp.asarray(send_idx),
+            n_local=n_local, n_global=n_pad, halo=h_pad, axis=axis,
+        ),
+        n_pad,
+    )
+
+
+def dist_spmm_halo(hsm: HaloShardedMatrix, x_local: jax.Array) -> jax.Array:
+    """``A @ x`` with boundary-only exchange: gather the rows each neighbor
+    needs, one all_to_all of [D, H, F], then a local segment reduce over
+    pre-remapped columns. Comm volume is O(D·H·F) per device — the halo
+    size, not the graph size."""
+    send = x_local[hsm.send_idx]  # [D, H, F]
+    recv = jax.lax.all_to_all(send, hsm.axis, split_axis=0, concat_axis=0)
+    flat = recv.reshape(-1, x_local.shape[-1])  # [D*H, F]
+    gathered = flat[hsm.cols_halo] * hsm.vals[:, None].astype(x_local.dtype)
+    return jax.ops.segment_sum(
+        gathered, hsm.rows, num_segments=hsm.n_local, indices_are_sorted=True
+    )
+
+
 def pad_nodes(arr: np.ndarray, n_pad: int) -> np.ndarray:
     """Zero-pad the leading (node) axis to ``n_pad``."""
     if arr.shape[0] == n_pad:
@@ -257,9 +369,12 @@ def shard_hops(mats: List, num_shards: int, axis: str = GRAPH_AXIS,
 
     ``mode='allgather'`` → :class:`ShardedMatrix` (one all_gather per SpMM);
     ``mode='ring'`` → :class:`RingShardedMatrix` (ppermute ring with
-    comm/compute overlap, O(n_local·F) peak memory).
+    comm/compute overlap, O(n_local·F) peak memory);
+    ``mode='halo'`` → :class:`HaloShardedMatrix` (boundary-only all_to_all,
+    comm volume scales with the halo, not the graph).
     """
-    builder = shard_matrix if mode == "allgather" else shard_matrix_ring
+    builder = {"allgather": shard_matrix, "ring": shard_matrix_ring,
+               "halo": shard_matrix_halo}[mode]
     out = []
     n_pad = None
     for m in mats:

@@ -39,7 +39,7 @@ def main(argv=None):
                         help="Train distributed over an N-device mesh "
                              "(node-sharded activations, edge-partitioned "
                              "SpMM)")
-    parser.add_argument("--halo_mode", choices=["ring", "allgather"],
+    parser.add_argument("--halo_mode", choices=["ring", "allgather", "halo"],
                         default="ring", dest="_halo_mode",
                         help="Boundary-feature exchange strategy for "
                              "distributed SpMM")

@@ -218,3 +218,63 @@ def test_distributed_cli_training(planetoid_path, tmp_path):
     ])
     acc = float(args.objects["best_val_stats"]["test_accuracy"])
     assert acc > 0.60
+
+
+def test_halo_dist_spmm_matches_scipy(problem):
+    mesh = make_mesh(8)
+    for m in problem["mats"]:
+        shard, n_pad = dist.shard_matrix_halo(m, 8)
+        x = dist.pad_nodes(problem["x"], n_pad)
+
+        def body(sh, x_local):
+            return dist.dist_spmm_halo(sh.local(), x_local)
+
+        f = jax.jit(
+            jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(jax.tree_util.tree_map(lambda _: P("graph"), shard),
+                          P("graph")),
+                out_specs=P("graph"),
+                check_vma=False,
+            )
+        )
+        y = np.asarray(f(shard, jnp.asarray(x)))[: problem["n"]]
+        np.testing.assert_allclose(y, m @ problem["x"], rtol=1e-5, atol=1e-5)
+
+
+def test_halo_train_matches_single_chip(problem):
+    """Boundary-exchange distributed train step == single-chip step."""
+    p = problem
+    mesh = make_mesh(8)
+    conf = parse_network_setup("M16-R-T1-G-V-C1-MO", p["c"], _dense_units=16)
+    model = NetworkModel(conf, l2_regularize_weight=5e-4)
+    params = model.init(jax.random.PRNGKey(0), p["f"], 2)
+    tx = optax.sgd(0.5)
+    opt_state = tx.init(params)
+
+    hop_shards, n_pad = dist.shard_hops(p["mats"], 8, mode="halo")
+    train_step, _ = ptrain.build_dist_steps(model, tx, mesh, hop_shards)
+    shard = NamedSharding(mesh, P("graph"))
+    xd = jax.device_put(jnp.asarray(dist.pad_nodes(p["x"], n_pad)), shard)
+    yd = jax.device_put(jnp.asarray(dist.pad_nodes(p["y"], n_pad)), shard)
+    md = jax.device_put(jnp.asarray(dist.pad_nodes(p["mask"], n_pad)), shard)
+    new_params, _, loss = train_step(
+        params, opt_state, jax.random.PRNGKey(1), xd, yd, md
+    )
+
+    ah = [SparseMatrix.from_scipy(m, backend="segment") for m in p["mats"]]
+
+    def loss_fn(pp):
+        logits = model.apply(pp, ah[0], jnp.asarray(p["x"]), ah)
+        return model.loss(pp, logits, jnp.asarray(p["y"]),
+                          jnp.asarray(p["mask"]))
+
+    loss_ref, grads_ref = jax.value_and_grad(loss_fn)(params)
+    ref_params = optax.apply_updates(
+        params, tx.update(grads_ref, opt_state, params)[0]
+    )
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(new_params),
+                    jax.tree_util.tree_leaves(ref_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5)
