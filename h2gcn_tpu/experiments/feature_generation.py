@@ -219,3 +219,120 @@ def generate_split(adj_lists, ally, allx, split_config, out_dir,
 
 PLANETOID_SUFFIXES = ("x", "y", "tx", "ty", "allx", "ally", "graph",
                       "test.index")
+
+
+def match_classes_injective(src_counts, dst_counts):
+    """Injective src→dst class matching s.t. per-scope dst counts cover src.
+
+    Replaces the reference's python-constraint solver
+    (feature_generation.py:100-108) with a plain backtracking search (no
+    external dependency). ``src_counts``: [scopes, n_src]; ``dst_counts``:
+    [scopes, n_dst]. Returns {src_class: dst_class} or None.
+    """
+    n_src = src_counts.shape[1]
+    n_dst = dst_counts.shape[1]
+    # try scarcer (larger) source classes first for faster pruning
+    order = np.argsort(-src_counts.sum(0))
+    assignment = {}
+    used = set()
+
+    def feasible(src, dst):
+        return bool(np.all(dst_counts[:, dst] >= src_counts[:, src]))
+
+    def backtrack(pos):
+        if pos == n_src:
+            return True
+        src = int(order[pos])
+        for dst in range(n_dst):
+            if dst in used or not feasible(src, dst):
+                continue
+            assignment[src] = dst
+            used.add(dst)
+            if backtrack(pos + 1):
+                return True
+            del assignment[src]
+            used.remove(dst)
+        return False
+
+    return assignment if backtrack(0) else None
+
+
+def ogbn_transplant_features(split_dir, split_name, out_dir, out_name,
+                             ogbn_name="ogbn-products", ogbn_path=".",
+                             rng=None):
+    """Transplant ogbn node features onto an existing planetoid split.
+
+    Reference semantics (feature_generation.py:54-139): match synthetic
+    classes to ogbn classes so every scope has enough donor nodes, sample
+    donor rows per scope without replacement, rewrite x/allx/tx; the
+    label/graph files are copied unchanged. Requires the ``ogb`` package
+    (gated import; raises a clear error when absent).
+    """
+    import shutil
+
+    try:
+        from ogb.nodeproppred import NodePropPredDataset
+    except ImportError as e:  # pragma: no cover - env without ogb
+        raise ImportError(
+            "ogbn feature transplanting requires the 'ogb' package"
+        ) from e
+
+    from ..datasets._dataset import PlanetoidData
+
+    rng = rng if rng is not None else np.random.RandomState()
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    import os
+
+    cwd = os.getcwd()
+    try:
+        os.chdir(ogbn_path)
+        dataset = NodePropPredDataset(name=ogbn_name)
+    finally:
+        os.chdir(cwd)
+    split_idx = dataset.get_idx_split()
+    graph, label = dataset[0]
+    label = np.asarray(label).ravel()
+    scopes = [split_idx["train"], split_idx["valid"], split_idx["test"]]
+
+    src = PlanetoidData(split_name, str(split_dir), val_size=None)
+    n_classes = src.num_labels
+    src_counts = np.zeros((3, n_classes))
+    dst_counts = np.zeros((3, dataset.num_classes))
+    for i, (mask, idx) in enumerate(zip(
+        (src.train_mask, src.val_mask, src.test_mask), scopes
+    )):
+        src_counts[i] = src.y_all[mask].sum(0)
+        dst_counts[i] = (label[idx][:, None]
+                         == np.arange(dataset.num_classes)).sum(0)
+
+    solution = match_classes_injective(src_counts, dst_counts)
+    if solution is None:
+        return None
+
+    feats = np.zeros((src.num_samples, graph["node_feat"].shape[1]))
+    for scope_mask, idx in zip(
+        (src.train_mask, src.val_mask, src.test_mask), scopes
+    ):
+        idx_set = set(int(i) for i in idx)
+        for src_cls, dst_cls in solution.items():
+            sel = scope_mask & (src.labels == src_cls)
+            donors = sorted(idx_set.intersection(
+                np.where(label == dst_cls)[0].tolist()
+            ))
+            chosen = rng.choice(donors, int(sel.sum()), replace=False)
+            feats[sel, :] = graph["node_feat"][chosen, :]
+
+    for ext in ("y", "ty", "ally", "graph", "test.index"):
+        shutil.copy2(Path(split_dir) / f"{split_name}.{ext}",
+                     out_dir / f"{out_name}.{ext}")
+    x = feats[src.train_mask]
+    allx = feats[src.train_mask | src.val_mask]
+    tx = feats[src.test_mask]
+    for fname, obj in ((f"{out_name}.x", x), (f"{out_name}.allx", allx),
+                       (f"{out_name}.tx", tx)):
+        with open(out_dir / fname, "wb") as f:
+            pickle.dump(scipy.sparse.csr_matrix(obj), f)
+    return dict(solution=solution, files=[f"{out_name}.{s}"
+                                          for s in PLANETOID_SUFFIXES])

@@ -79,6 +79,7 @@ def iter_runs(graph_job: Job, config: dict, tuning=False):
     exp_regex = config.get("exp_regex", "")
     arg_regex = config.get("arg_regex")
     split_filter = config.get("split_filter")
+    split_doc_filter = config.get("split_doc_filter")
     for feature_job, split_job, fg_name, files in generation.feature_split_iter(
         graph_job
     ):
@@ -88,6 +89,10 @@ def iter_runs(graph_job: Job, config: dict, tuning=False):
             continue
         if split_filter and any(
             split_job.sp.get(k) != v for k, v in split_filter.items()
+        ):
+            continue
+        if split_doc_filter and any(
+            split_job.doc.get(k) != v for k, v in split_doc_filter.items()
         ):
             continue
         if tuning and split_job.sp.get("split_index", None) not in (None, 0):
