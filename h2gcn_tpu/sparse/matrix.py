@@ -295,6 +295,10 @@ def _spmm_impl(sm: SparseMatrix, x: jax.Array) -> jax.Array:
             a, xx, preferred_element_type=x.dtype, precision=prec,
         )
     if sm.backend == "bsr" and sm.bsr is not None:
+        if jax.default_backend() not in ("tpu", "gpu"):
+            # Pallas kernels need an accelerator backend; CPU (tests,
+            # virtual meshes) reduces via the segment path
+            return _spmm_segment(sm, x)
         from .pallas_spmm import bsr_spmm
 
         return bsr_spmm(sm.bsr, x, n_out=sm.shape[0],
