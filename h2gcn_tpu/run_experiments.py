@@ -20,6 +20,10 @@ from .modules import arguments, logger, monitor
 def main(argv=None):
     parser = arguments.create_parser()
     parser.add_argument("--random_seed", type=int, default=123)
+    parser.add_argument("--interactive", "-i", action="store_true",
+                        dest="_interactive",
+                        help="Drop into IPython after training (reference "
+                             "run_experiments.py:63-65)")
     parser.add_argument("--epochs", type=int, default=2000,
                         help="(default: %(default)s)")
     parser.add_argument("--platform", type=str, default=None, dest="_platform",
@@ -125,6 +129,10 @@ def main(argv=None):
         print(f"===> Timing: {len(times)} epochs, "
               f"median {1e3 * sorted(steady)[len(steady) // 2]:.2f} ms/epoch "
               f"(first epoch {1e3 * times[0]:.1f} ms incl. compile)")
+    if getattr(args, "_interactive", False):
+        import IPython
+
+        IPython.embed()
     return args
 
 

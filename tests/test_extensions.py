@@ -75,3 +75,28 @@ def test_attn_step_unsupported(planetoid_path, tmp_path):
     ])
     with pytest.raises(NotImplementedError):
         args.objects["attn_step"](**args.objects["tensors"])
+
+
+def test_sparsegraph_cli_training(tmp_path):
+    """Train through the sparsegraph npz dataset plugin end-to-end."""
+    import scipy.sparse as sp
+
+    from h2gcn_tpu.datasets import sparsegraph as sg
+    from h2gcn_tpu.run_experiments import main
+
+    rng = np.random.RandomState(0)
+    n = 80
+    A = sp.random(n, n, density=0.08, random_state=1, format="csr")
+    A = ((A + A.T) > 0).astype(np.float32)
+    labels = rng.randint(0, 3, n)
+    feats = sp.csr_matrix(rng.rand(n, 12).astype(np.float32))
+    g = sg.SparseGraph(A, feats, labels)
+    sg.save_sparse_graph_to_npz(tmp_path / "toy", g)
+
+    args = main([
+        "H2GCN", "sparsegraph", "--dataset", "toy",
+        "--dataset_path", str(tmp_path),
+        "--epochs", "5", "--hidden", "16",
+        "--checkpoint_dir", str(tmp_path / "ck" / "{model}_{dataset}_{runname}"),
+    ])
+    assert np.isfinite(float(args.objects["best_val_stats"]["val_loss"]))
