@@ -52,8 +52,12 @@ class GATNetwork:
 
     def __init__(self, num_classes, *,
                  hid_units=(8,), n_heads=(8, 1), in_drop=0.6, attn_drop=0.6,
-                 residual=False, l2_coef=5e-4):
+                 residual=False, l2_coef=5e-4, fused_attention=False):
         self.num_classes = num_classes
+        # fused Pallas attention (sparse/pallas_attention.py): used when the
+        # adjacency carries a BSR payload and no per-coefficient state is
+        # needed (attention dropout off or eval, no coefficient capture)
+        self.fused_attention = fused_attention
         self.hid_units = list(hid_units)
         self.n_heads = list(n_heads)
         self.in_drop = in_drop
@@ -119,14 +123,62 @@ class GATNetwork:
             capture_alpha.append(alpha)
         return out
 
+    def _fused_layer(self, heads, x, adj, *, training, rng, layer_idx):
+        """All heads of one layer through the fused Pallas attention kernel."""
+        from ..nn.ops import dropout as _dropout
+        from ..sparse.pallas_attention import bsr_gat_attention
+
+        key = (jax.random.fold_in(rng, layer_idx) if rng is not None else None)
+        xd = _dropout(x, self.in_drop, key, 0, training=training)
+        h_parts, f1_parts, f2_parts = [], [], []
+        for p in heads:
+            hk = jnp.matmul(xd, p["W"], precision=jax.lax.Precision.HIGHEST)
+            hk = _dropout(hk, self.in_drop, key, 2, training=training)
+            h_parts.append(hk)
+            f1_parts.append(hk @ p["a1"] + p["b1"])
+            f2_parts.append(hk @ p["a2"] + p["b2"])
+        feat = h_parts[0].shape[1]
+        out = bsr_gat_attention(
+            adj.bsr,
+            jnp.stack(f1_parts, axis=1),
+            jnp.stack(f2_parts, axis=1),
+            jnp.concatenate(h_parts, axis=1),
+            num_heads=len(heads), feat=feat, n_out=x.shape[0],
+            interpret=(jax.default_backend() not in ("tpu", "gpu")),
+        )
+        return [
+            out[:, k * feat:(k + 1) * feat] + p["bias"]
+            for k, p in enumerate(heads)
+        ]
+
     def apply(self, params, adj, x, adjhops, *, training=False, rng=None,
               capture=None, **kw):
         h = x
         n_layers = len(params["layers"])
+        # inference-only for now: the fused kernel has no custom VJP yet, so
+        # the training step keeps the differentiable segment path
+        use_fused = (
+            self.fused_attention
+            and getattr(adj, "bsr", None) is not None
+            and capture is None
+            and not training
+        )
         # attention coefficients for EVERY layer and head (the reference's
         # getAttnCoeff returns a per-attention-layer list, H2GCN.py:355-360)
         all_alphas = [] if capture is not None else None
         for li, heads in enumerate(params["layers"]):
+            if use_fused:
+                outs = self._fused_layer(heads, h, adj, training=training,
+                                         rng=rng, layer_idx=li)
+                if li < n_layers - 1:
+                    new_h = jnp.concatenate(
+                        [jax.nn.elu(o) for o in outs], axis=1)
+                    if self.residual and new_h.shape[1] == h.shape[1]:
+                        new_h = new_h + h
+                    h = new_h
+                else:
+                    h = sum(outs) / len(outs)
+                continue
             outs = []
             layer_alphas = [] if capture is not None else None
             for hi, p in enumerate(heads):
@@ -215,6 +267,11 @@ def add_subparser_args(parser):
                             "dense-GAT adj_to_bias semantics "
                             "(utils/process.py:15-32, execute_cora.py)")
     group.add_argument("--patience", default=100, type=int)
+    group.add_argument("--fused_attention", action="store_true",
+                       help="Use the fused Pallas attention kernel "
+                            "(SDDMM+softmax+aggregate in one pass); "
+                            "falls back to the segment path when attention "
+                            "dropout is active or coefficients are captured")
     group.add_argument("--optimizer", type=str, default="adam")
     group.add_argument("--no_feature_normalize", action="store_true")
     group.add_argument("--best_val_criteria", choices=["val_acc", "val_loss"],
@@ -260,7 +317,11 @@ def argparse_callback(args):
     else:
         hops = transforms.nhood_split(dataset.sparse_adj, int(args.nhood))
         support = transforms.add_eye(sum(hops[1:]))
-    tensors.adj = SparseMatrix.from_scipy(support, backend="segment")
+    # bsr backend also retains the full COO arrays, so both the segment path
+    # and the fused Pallas kernel can run off the same tensor
+    tensors.adj = SparseMatrix.from_scipy(
+        support, backend="bsr" if args.fused_attention else "segment"
+    )
     args.objects["tensors"] = vars(tensors)
 
     model = GATNetwork(
@@ -268,6 +329,7 @@ def argparse_callback(args):
         hid_units=args.hid_units, n_heads=args.n_heads,
         in_drop=args.in_drop, attn_drop=args.attn_drop,
         residual=args.residual, l2_coef=args.l2_coef,
+        fused_attention=args.fused_attention,
     )
     controller = _StatsPatience(args, GATPatienceController(args.patience))
     _runtime.initialize_model(

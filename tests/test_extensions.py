@@ -100,3 +100,25 @@ def test_sparsegraph_cli_training(tmp_path):
         "--checkpoint_dir", str(tmp_path / "ck" / "{model}_{dataset}_{runname}"),
     ])
     assert np.isfinite(float(args.objects["best_val_stats"]["val_loss"]))
+
+
+def test_fused_attention_matches_segment(planetoid_path, tmp_path):
+    """Fused Pallas attention (interpret mode on CPU) == segment-path eval."""
+    from h2gcn_tpu.run_experiments import main
+
+    args = main([
+        "GAT", "planetoid", "--dataset", "ind.cora",
+        "--dataset_path", planetoid_path, "--epochs", "2",
+        "--fused_attention",
+        "--checkpoint_dir", str(tmp_path / "ck" / "{model}_{dataset}_{runname}"),
+    ])
+    model = args.objects["model"]
+    st = args.objects["state"]
+    t = args.objects["tensors"]
+    fused = model.apply(st["params"], t["adj"], t["features"], [],
+                        training=False)
+    model.fused_attention = False
+    unfused = model.apply(st["params"], t["adj"], t["features"], [],
+                          training=False)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(unfused),
+                               rtol=1e-5, atol=1e-6)

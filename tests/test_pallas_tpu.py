@@ -43,3 +43,37 @@ def test_bsr_spmm_tpu(payload_dtype):
     gref = 2 * A.T @ (A @ x)
     np.testing.assert_allclose(np.asarray(g), gref, rtol=10 * tol,
                                atol=10 * tol)
+
+
+@pytest.mark.skipif(not _on_tpu(), reason="requires TPU")
+def test_fused_attention_kernel_tpu():
+    import jax.numpy as jnp
+
+    from h2gcn_tpu.sparse import transforms
+    from h2gcn_tpu.sparse.matrix import _build_bsr
+    from h2gcn_tpu.sparse.pallas_attention import bsr_gat_attention
+
+    rng = np.random.default_rng(0)
+    n, H, F = 500, 8, 8
+    A = sp.random(n, n, density=0.02, random_state=1, format="csr")
+    A = ((A + A.T) > 0).astype(np.float32)
+    A = transforms.add_eye(A)
+    bsr = _build_bsr(A.tocsr(), 128)
+    f1 = rng.standard_normal((n, H)).astype(np.float32)
+    f2 = rng.standard_normal((n, H)).astype(np.float32)
+    h = rng.standard_normal((n, H * F)).astype(np.float32)
+    out = np.asarray(bsr_gat_attention(
+        bsr, jnp.asarray(f1), jnp.asarray(f2), jnp.asarray(h),
+        num_heads=H, feat=F, n_out=n,
+    ))
+    Ad = A.toarray()
+    ref = np.zeros((n, H * F))
+    for k in range(H):
+        e = f1[:, k][:, None] + f2[:, k][None, :]
+        e = np.where(e >= 0, e, 0.2 * e)
+        e = np.where(Ad > 0, e, -np.inf)
+        alpha = np.exp(e - e.max(1, keepdims=True))
+        alpha = np.where(Ad > 0, alpha, 0)
+        alpha = alpha / alpha.sum(1, keepdims=True)
+        ref[:, k * F:(k + 1) * F] = alpha @ h[:, k * F:(k + 1) * F]
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
