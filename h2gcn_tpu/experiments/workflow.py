@@ -212,6 +212,7 @@ def run_sweep(root, config, *, epochs=None, parallel=1, graph_filter=None,
     if isinstance(config, (str, Path)):
         config = load_config(config)
     graph_filter = graph_filter or config.get("graph_filter_dict")
+    kw["epochs"] = epochs
     project = get_project(str(root))
     jobs = [j for j in project if _graph_matches(j, graph_filter)]
     if parallel > 1:

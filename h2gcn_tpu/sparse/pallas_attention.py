@@ -68,13 +68,20 @@ def _make_kernel(num_heads: int, feat: int, nb: int, slope: float):
 
         @pl.when(is_last)
         def _():
-            denom = jnp.zeros_like(acc_scr)
-            for k in range(num_heads):
-                l = jnp.maximum(l_scr[:, k][:, None], 1e-16)
-                denom = denom.at[:, k * feat:(k + 1) * feat].set(
-                    jnp.broadcast_to(l, (l.shape[0], feat))
+            # build the per-head normalizer by concatenation (a value-level
+            # .at[].set would lower to an unsupported scatter)
+            b = acc_scr.shape[0]
+            parts = [
+                jnp.broadcast_to(
+                    jnp.maximum(l_scr[:, k][:, None], 1e-16), (b, feat)
                 )
-            o_ref[...] = acc_scr[...] / denom
+                for k in range(num_heads)
+            ]
+            width = acc_scr.shape[1]
+            used = num_heads * feat
+            if used < width:
+                parts.append(jnp.ones((b, width - used), jnp.float32))
+            o_ref[...] = acc_scr[...] / jnp.concatenate(parts, axis=1)
 
     return kernel
 

@@ -10,7 +10,10 @@ os.environ["XLA_FLAGS"] = (
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# H2GCN_TPU_TESTS=1 leaves the real accelerator active (for the tpu-marked
+# kernel tests); default forces the CPU virtual mesh.
+if not os.environ.get("H2GCN_TPU_TESTS"):
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -116,3 +116,12 @@ def test_sweep_and_summarize(pipeline_root, tmp_path):
     removed = workflow.clean_workspace(job, MODEL_CONFIG)
     assert len(removed) >= 1
     assert not workflow.model_experiments_finished(job, MODEL_CONFIG)
+
+
+def test_run_sweep_forwards_epochs(pipeline_root, capsys):
+    """Regression: run_sweep must forward --epochs to child argv."""
+    root = str(pipeline_root / "proj")
+    workflow.run_sweep(root, dict(MODEL_CONFIG, model_args=["GCN"]),
+                       epochs=7, dry_run=True)
+    out = capsys.readouterr().out
+    assert "--epochs 7" in out
