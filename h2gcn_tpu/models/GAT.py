@@ -126,7 +126,7 @@ class GATNetwork:
     def _fused_layer(self, heads, x, adj, *, training, rng, layer_idx):
         """All heads of one layer through the fused Pallas attention kernel."""
         from ..nn.ops import dropout as _dropout
-        from ..sparse.pallas_attention import bsr_gat_attention
+        from ..sparse.pallas_attention import gat_attention
 
         key = (jax.random.fold_in(rng, layer_idx) if rng is not None else None)
         xd = _dropout(x, self.in_drop, key, 0, training=training)
@@ -138,7 +138,7 @@ class GATNetwork:
             f1_parts.append(hk @ p["a1"] + p["b1"])
             f2_parts.append(hk @ p["a2"] + p["b2"])
         feat = h_parts[0].shape[1]
-        out = bsr_gat_attention(
+        out = gat_attention(
             adj.bsr,
             jnp.stack(f1_parts, axis=1),
             jnp.stack(f2_parts, axis=1),
@@ -155,13 +155,14 @@ class GATNetwork:
               capture=None, **kw):
         h = x
         n_layers = len(params["layers"])
-        # inference-only for now: the fused kernel has no custom VJP yet, so
-        # the training step keeps the differentiable segment path
+        # the fused kernel carries a custom VJP (two-pass flash-style
+        # backward), so it trains too; attention-coefficient dropout is the
+        # one thing it cannot express (coefficients never materialize)
         use_fused = (
             self.fused_attention
             and getattr(adj, "bsr", None) is not None
             and capture is None
-            and not training
+            and (not training or self.attn_drop == 0)
         )
         # attention coefficients for EVERY layer and head (the reference's
         # getAttnCoeff returns a per-attention-layer list, H2GCN.py:355-360)
