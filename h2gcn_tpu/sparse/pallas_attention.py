@@ -402,15 +402,12 @@ def _gat_attention_vjp(bsr, num_heads, feat, n_out, slope, interpret):
         )(bsr.block_rows, bsr.block_cols, bsr.blocks.astype(jnp.float32),
           f1p, f2p, hp, gp, m, l, dp)
 
-        # pass C: column-major permutation of the same blocks
-        import numpy as _np
-
-        br_np = _np.asarray(bsr.block_rows)
-        bc_np = _np.asarray(bsr.block_cols)
-        order = _np.lexsort((br_np, bc_np)).astype(_np.int32)
-        bc_sorted = jnp.asarray(bc_np[order])
-        br_sorted = jnp.asarray(br_np[order])
-        blk_order = jnp.asarray(order)
+        # pass C: column-major permutation of the same blocks (computed with
+        # jnp — block arrays are traced when the BSR rides as a jit argument)
+        order = jnp.lexsort((bsr.block_rows, bsr.block_cols)).astype(jnp.int32)
+        bc_sorted = bsr.block_cols[order]
+        br_sorted = bsr.block_rows[order]
+        blk_order = order
 
         grid_c = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,

@@ -122,3 +122,43 @@ def test_fused_attention_matches_segment(planetoid_path, tmp_path):
                           training=False)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(unfused),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_fused_attention_vjp_matches_autodiff():
+    """Custom-VJP fused attention grads == XLA autodiff (interpret mode)."""
+    import scipy.sparse as sp
+
+    from h2gcn_tpu.sparse import transforms
+    from h2gcn_tpu.sparse.matrix import _build_bsr
+    from h2gcn_tpu.sparse.pallas_attention import gat_attention
+
+    rng = np.random.default_rng(0)
+    n, H, F = 150, 3, 8
+    A = sp.random(n, n, density=0.05, random_state=1, format="csr")
+    A = ((A + A.T) > 0).astype(np.float32)
+    A = transforms.add_eye(A)
+    bsr = _build_bsr(A.tocsr(), 128)
+    Ad = jnp.asarray(A.toarray())
+    f1 = jnp.asarray(rng.standard_normal((n, H)).astype(np.float32))
+    f2 = jnp.asarray(rng.standard_normal((n, H)).astype(np.float32))
+    h = jnp.asarray(rng.standard_normal((n, H * F)).astype(np.float32))
+    gw = jnp.asarray(rng.standard_normal((n, H * F)).astype(np.float32))
+
+    def oracle(f1, f2, h):
+        outs = []
+        for k in range(H):
+            e = jax.nn.leaky_relu(f1[:, k][:, None] + f2[:, k][None, :], 0.2)
+            e = jnp.where(Ad > 0, e, -1e30)
+            a = jax.nn.softmax(e, 1)
+            a = jnp.where(Ad > 0, a, 0)
+            outs.append(a @ h[:, k * F:(k + 1) * F])
+        return jnp.concatenate(outs, 1)
+
+    lf = lambda *a: jnp.sum(gat_attention(  # noqa: E731
+        bsr, *a, num_heads=H, feat=F, n_out=n, interpret=True) * gw)
+    lr = lambda *a: jnp.sum(oracle(*a) * gw)  # noqa: E731
+    g1 = jax.grad(lf, (0, 1, 2))(f1, f2, h)
+    g2 = jax.grad(lr, (0, 1, 2))(f1, f2, h)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
