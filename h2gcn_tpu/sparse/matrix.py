@@ -59,9 +59,13 @@ class BSR:
     blocks: jax.Array       # [nb, B, B] float — dense block payloads
     block_rows: jax.Array   # [nb] int32, ascending
     block_cols: jax.Array   # [nb] int32
-    block_size: int = struct.field(pytree_node=False)
-    n_row_blocks: int = struct.field(pytree_node=False)
-    n_col_blocks: int = struct.field(pytree_node=False)
+    # host-precomputed column-major visit order (static per graph): the
+    # schedule for transpose-direction passes (e.g. the fused-attention
+    # backward), so no on-device sort is needed
+    colmajor_order: jax.Array = None  # [nb] int32
+    block_size: int = struct.field(pytree_node=False, default=128)
+    n_row_blocks: int = struct.field(pytree_node=False, default=1)
+    n_col_blocks: int = struct.field(pytree_node=False, default=1)
 
     @property
     def num_blocks(self) -> int:
@@ -258,10 +262,12 @@ def _build_bsr(csr, block_size: int, payload_dtype=None) -> BSR:
     dev_blocks = jnp.asarray(blocks)
     if payload_dtype is not None:
         dev_blocks = dev_blocks.astype(payload_dtype)
+    colmajor = np.lexsort((block_rows, block_cols)).astype(np.int32)
     return BSR(
         blocks=dev_blocks,
         block_rows=jnp.asarray(block_rows),
         block_cols=jnp.asarray(block_cols),
+        colmajor_order=jnp.asarray(colmajor),
         block_size=B,
         n_row_blocks=n_rb,
         n_col_blocks=n_cb,

@@ -402,9 +402,15 @@ def _gat_attention_vjp(bsr, num_heads, feat, n_out, slope, interpret):
         )(bsr.block_rows, bsr.block_cols, bsr.blocks.astype(jnp.float32),
           f1p, f2p, hp, gp, m, l, dp)
 
-        # pass C: column-major permutation of the same blocks (computed with
-        # jnp — block arrays are traced when the BSR rides as a jit argument)
-        order = jnp.lexsort((bsr.block_rows, bsr.block_cols)).astype(jnp.int32)
+        # pass C: column-major permutation of the same blocks — host-
+        # precomputed on the BSR (static per graph); jnp fallback for BSRs
+        # built without it
+        if bsr.colmajor_order is not None:
+            order = bsr.colmajor_order
+        else:
+            order = jnp.lexsort(
+                (bsr.block_rows, bsr.block_cols)
+            ).astype(jnp.int32)
         bc_sorted = bsr.block_cols[order]
         br_sorted = bsr.block_rows[order]
         blk_order = order

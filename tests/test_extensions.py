@@ -154,10 +154,16 @@ def test_fused_attention_vjp_matches_autodiff():
             outs.append(a @ h[:, k * F:(k + 1) * F])
         return jnp.concatenate(outs, 1)
 
-    lf = lambda *a: jnp.sum(gat_attention(  # noqa: E731
-        bsr, *a, num_heads=H, feat=F, n_out=n, interpret=True) * gw)
+    # TRACED path: grad inside jit with the BSR as a jit argument — exactly
+    # the real training structure (_runtime._train), so the BSR arrays are
+    # tracers inside the VJP. Guards against TracerArrayConversionError
+    # regressions in the backward's block-permutation handling.
+    g_fn = jax.jit(lambda b, f1, f2, h: jax.grad(
+        lambda *a: jnp.sum(gat_attention(
+            b, *a, num_heads=H, feat=F, n_out=n, interpret=True) * gw),
+        (0, 1, 2))(f1, f2, h))
     lr = lambda *a: jnp.sum(oracle(*a) * gw)  # noqa: E731
-    g1 = jax.grad(lf, (0, 1, 2))(f1, f2, h)
+    g1 = g_fn(bsr, f1, f2, h)
     g2 = jax.grad(lr, (0, 1, 2))(f1, f2, h)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
