@@ -78,16 +78,23 @@ def main():
     float(jnp.zeros(()))
     n, f, c = 10_000, 64, 8
     A = build_graph(n)
+    t0 = time.perf_counter()
     hops = transforms.nhood_split(A, 2)
+    t_precompute = time.perf_counter() - t0
     a1 = transforms.normalize(hops[1])
     a2 = transforms.normalize(hops[2])
     nnz_total = a1.nnz + a2.nnz
+    t0 = time.perf_counter()
+    transforms.nhood_split(A, 2, use_native=False)
+    t_precompute_scipy = time.perf_counter() - t0
 
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
 
     extra = {"platform": platform, "n_nodes": n, "nnz_hop1": int(a1.nnz),
-             "nnz_hop2": int(a2.nnz)}
+             "nnz_hop2": int(a2.nnz),
+             "hop_precompute_s": t_precompute,
+             "hop_precompute_scipy_s": t_precompute_scipy}
 
     # --- aggregation edges/s per backend -----------------------------------
     results = {}

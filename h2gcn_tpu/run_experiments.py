@@ -24,6 +24,10 @@ def main(argv=None):
                         dest="_interactive",
                         help="Drop into IPython after training (reference "
                              "run_experiments.py:63-65)")
+    parser.add_argument("--restore_checkpoint", type=str, default=None,
+                        dest="_restore_checkpoint",
+                        help="Path to a ckpt.npz (or its directory) to "
+                             "resume training from")
     parser.add_argument("--epochs", type=int, default=2000,
                         help="(default: %(default)s)")
     parser.add_argument("--platform", type=str, default=None, dest="_platform",
@@ -63,6 +67,17 @@ def main(argv=None):
     # the FIRST device→host readback of a process; take the hit before the
     # epoch loop so per-epoch stats readback is fast.
     float(jax.numpy.zeros(()))
+
+    if getattr(args, "_restore_checkpoint", None) and "state" in args.objects:
+        from pathlib import Path
+
+        from .modules import checkpoint as ckpt_io
+
+        path = Path(args._restore_checkpoint)
+        if path.is_dir():
+            path = path / "ckpt.npz"
+        args.objects["state"] = ckpt_io.load_pytree(path, args.objects["state"])
+        print(f"===> Resumed training state from {path}")
 
     for func in args.objects["pretrain_callbacks"]:
         func(**args.objects["tensors"])

@@ -155,3 +155,55 @@ def test_ckpt_every_epoch_restore(planetoid_path, tmp_path):
     snapshots = [d for d in run_dir.iterdir() if (d / "ckpt.npz").exists()]
     assert 1 <= len(snapshots) <= 3
     assert any(best["ckpt"] in d.name for d in snapshots)
+
+
+@pytest.mark.slow
+def test_restore_checkpoint_resume(planetoid_path, tmp_path):
+    """--restore_checkpoint continues from a previous run's best state."""
+    from h2gcn_tpu.run_experiments import main
+
+    common = [
+        "H2GCN", "planetoid", "--dataset", "ind.cora",
+        "--dataset_path", planetoid_path,
+    ]
+    a1 = main(common + [
+        "--epochs", "15",
+        "--checkpoint_dir", str(tmp_path / "a" / "{model}_{dataset}_{runname}"),
+    ])
+    best1 = a1.objects["best_val_stats"]
+    ckpt_dir = (tmp_path / "a").glob("*/")
+    import glob
+    ckpts = glob.glob(str(tmp_path / "a" / "*" / "*" / "ckpt.npz"))
+    assert ckpts
+    a2 = main(common + [
+        "--epochs", "5", "--restore_checkpoint", ckpts[0],
+        "--checkpoint_dir", str(tmp_path / "b" / "{model}_{dataset}_{runname}"),
+    ])
+    best2 = a2.objects["best_val_stats"]
+    # resumed run starts near the previous best, not from scratch
+    assert float(best2["val_acc"]) >= float(best1["val_acc"]) - 0.05
+
+
+@pytest.mark.slow
+def test_monitors(planetoid_path, tmp_path, capsys):
+    """deg_acc_monitor buckets + grad_monitor print through the CLI flags."""
+    from h2gcn_tpu.run_experiments import main
+
+    args = main([
+        "H2GCN", "planetoid", "--dataset", "ind.cora",
+        "--dataset_path", planetoid_path, "--epochs", "2",
+        "--deg_acc_monitor", "2", "5", "--grad_monitor", "--verbose",
+        "--checkpoint_dir", str(tmp_path / "ck" / "{model}_{dataset}_{runname}"),
+    ])
+    out = capsys.readouterr().out
+    assert "deg_acc_monitor" in out
+    assert "Gradient range:" in out
+    stats = args.objects["epoch_stats"]
+    mon = stats["monitor"]
+    for scope in ("train", "val", "test"):
+        entry = mon[f"deg_acc_{scope}"]
+        assert entry["bins"] == [2.0, 5.0]
+        assert len(entry["acc"]) == 3      # <=2, (2,5], >5 buckets
+        assert len(entry["counts"]) == 3
+    # bucket counts cover the full scope
+    assert sum(mon["deg_acc_test"]["counts"]) == 1000
