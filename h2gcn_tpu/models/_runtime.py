@@ -414,6 +414,26 @@ def _initialize_distributed(args, model, tx, params, opt_state,
         stats["monitor"] = dict()
         return stats
 
+    def train_block(k, start_epoch, **kwargs):
+        carry = args.objects.get("block_carry")
+        if carry is None:
+            st = args.objects["state"]
+            carry = (st["params"], st["opt_state"], st["params"],
+                     jnp.float32(-jnp.inf))
+        carry, stats = train_fn.block(
+            carry, start_epoch, k, rng_base,
+            args.best_val_criteria == "val_acc",
+            dd["features"], dd["y_train"], dd["train_mask"],
+            dd["y_val"], dd["val_mask"], dd["y_test"], dd["test_mask"],
+        )
+        args.objects["block_carry"] = carry
+        params_c, opt_c, best_params, _ = carry
+        args.objects["state"] = {"params": params_c, "opt_state": opt_c}
+        args.objects["best_state"] = {"params": best_params,
+                                      "opt_state": opt_c}
+        return {key: np.asarray(v) for key, v in stats.items()}
+
     args.objects["train_step"] = train_step
     args.objects["test_step"] = test_step
+    args.objects["train_block"] = train_block
     _register_protocol(args, model, test_step, early_stopping, es_metric)

@@ -165,6 +165,73 @@ def build_dist_steps(
                               y_test, test_mask, hop_shards)
 
     train_step.eval_full = eval_full_step  # extended contract for the runtime
+
+    # ---- blocked (lax.scan) distributed epochs ----------------------------
+    # Same design as the single-chip --epochs_per_block path: K epochs per
+    # compiled program with the best-validation parameters tracked on device,
+    # here with every epoch running the full shard_map'd distributed
+    # train+eval. One dispatch + one stats readback per K epochs per mesh.
+    def _epoch_body_local(carry, epoch_idx, rng_base, best_is_acc, x, y_train,
+                          train_mask, y_val, val_mask, y_test, test_mask,
+                          *hops):
+        params, opt_state, best_params, best_crit = carry
+        rng = jax.random.fold_in(rng_base, epoch_idx)
+        params, opt_state, train_loss = _local_train(
+            params, opt_state, rng, x, y_train, train_mask, *hops
+        )
+        stats = _local_eval_full(params, x, y_train, train_mask, y_val,
+                                 val_mask, y_test, test_mask, *hops)
+        stats = dict(stats, train_loss=train_loss)
+        crit = jnp.where(best_is_acc, stats["val_acc"], -stats["val_loss"])
+        better = crit >= best_crit
+        best_params = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(better, new, old), params, best_params
+        )
+        best_crit = jnp.where(better, crit, best_crit)
+        return (params, opt_state, best_params, best_crit), stats
+
+    def _block_local(carry, start_epoch, k, rng_base, best_is_acc, x, y_train,
+                     train_mask, y_val, val_mask, y_test, test_mask, *hops):
+        def body(c, idx):
+            return _epoch_body_local(
+                c, idx, rng_base, best_is_acc, x, y_train, train_mask,
+                y_val, val_mask, y_test, test_mask, *hops,
+            )
+
+        return jax.lax.scan(
+            body, carry, start_epoch + jnp.arange(k, dtype=jnp.int32)
+        )
+
+    def _make_block_shard(k):
+        def body(carry, start_epoch, rng_base, best_is_acc, *rest):
+            return _block_local(carry, start_epoch, k, rng_base,
+                                best_is_acc, *rest)
+
+        return jax.jit(
+            jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=((P(), P(), P(), P()), P(), P(), P())
+                + (P(axis),) * 7 + hop_specs,
+                out_specs=((P(), P(), P(), P()), P()),
+                check_vma=False,
+            )
+        )
+
+    _block_cache = {}
+
+    def train_block_step(carry, start_epoch, k, rng_base, best_is_acc, x,
+                         y_train, train_mask, y_val, val_mask, y_test,
+                         test_mask):
+        if k not in _block_cache:
+            _block_cache[k] = _make_block_shard(k)
+        return _block_cache[k](
+            carry, jnp.int32(start_epoch), rng_base,
+            jnp.bool_(best_is_acc), x, y_train, train_mask, y_val, val_mask,
+            y_test, test_mask, *hop_shards,
+        )
+
+    train_step.block = train_block_step
     return train_step, eval_step
 
 

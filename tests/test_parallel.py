@@ -278,3 +278,19 @@ def test_halo_train_matches_single_chip(problem):
                     jax.tree_util.tree_leaves(ref_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                    atol=1e-5)
+
+
+@pytest.mark.slow
+def test_distributed_blocked_cli(planetoid_path, tmp_path):
+    """--mesh_shards + --epochs_per_block + halo mode compose through the
+    CLI and reproduce single-chip accuracy."""
+    from h2gcn_tpu.run_experiments import main
+
+    args = main([
+        "H2GCN", "planetoid", "--dataset", "ind.cora",
+        "--dataset_path", planetoid_path,
+        "--epochs", "20", "--mesh_shards", "8", "--halo_mode", "halo",
+        "--epochs_per_block", "8",
+        "--checkpoint_dir", str(tmp_path / "ck" / "{model}_{dataset}_{runname}"),
+    ])
+    assert float(args.objects["best_val_stats"]["test_accuracy"]) > 0.6
