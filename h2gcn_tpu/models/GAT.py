@@ -128,15 +128,19 @@ class GATNetwork:
         from ..nn.ops import dropout as _dropout
         from ..sparse.pallas_attention import gat_attention
 
-        key = (jax.random.fold_in(rng, layer_idx) if rng is not None else None)
-        xd = _dropout(x, self.in_drop, key, 0, training=training)
         h_parts, f1_parts, f2_parts = [], [], []
-        for p in heads:
+        for hi, p in enumerate(heads):
+            # same dropout structure and per-head keys as the unfused path:
+            # logits come from the PRE-dropout transform; only the
+            # aggregated features get the second dropout
+            key = (jax.random.fold_in(rng, layer_idx * 1000 + hi)
+                   if rng is not None else None)
+            xd = _dropout(x, self.in_drop, key, 0, training=training)
             hk = jnp.matmul(xd, p["W"], precision=jax.lax.Precision.HIGHEST)
-            hk = _dropout(hk, self.in_drop, key, 2, training=training)
-            h_parts.append(hk)
             f1_parts.append(hk @ p["a1"] + p["b1"])
             f2_parts.append(hk @ p["a2"] + p["b2"])
+            h_parts.append(_dropout(hk, self.in_drop, key, 2,
+                                    training=training))
         feat = h_parts[0].shape[1]
         out = gat_attention(
             adj.bsr,

@@ -15,15 +15,21 @@ def _normalized_mask(mask: jax.Array) -> jax.Array:
     return m / jnp.sum(m)
 
 
+def softmax_ce_rows(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Per-row softmax cross-entropy for (possibly all-zero) one-hot labels.
+
+    ``(Σ_c labels_c)·logZ − Σ_c labels_c·logits_c``: equals the softmax CE
+    for one-hot rows and exactly 0 for all-zero label rows (unmasked nodes).
+    """
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    return jnp.sum(labels, axis=-1) * logz - jnp.sum(labels * logits, axis=-1)
+
+
 def masked_softmax_cross_entropy(
     logits: jax.Array, labels: jax.Array, mask: jax.Array
 ) -> jax.Array:
     """Mean softmax cross-entropy over the masked nodes (one-hot labels)."""
-    logz = jax.nn.logsumexp(logits, axis=-1)
-    # (Σ_c labels_c)·logZ − Σ_c labels_c·logits_c: equals the softmax CE for
-    # one-hot rows and exactly 0 for all-zero label rows (unmasked nodes).
-    ce = jnp.sum(labels, axis=-1) * logz - jnp.sum(labels * logits, axis=-1)
-    return jnp.sum(ce * _normalized_mask(mask))
+    return jnp.sum(softmax_ce_rows(logits, labels) * _normalized_mask(mask))
 
 
 def masked_accuracy(

@@ -23,9 +23,7 @@ from .dist import ShardedMatrix
 from .mesh import GRAPH_AXIS
 
 
-def _ce_rows(logits, labels):
-    logz = jax.nn.logsumexp(logits, axis=-1)
-    return jnp.sum(labels, axis=-1) * logz - jnp.sum(labels * logits, axis=-1)
+from ..nn.metrics import softmax_ce_rows as _ce_rows  # shared CE formula
 
 
 def _psum(x, axis):

@@ -89,6 +89,10 @@ class SparseMatrix:
     bsr_t: Optional[BSR]              # BSR of the transpose (for VJP) or None
     shape: Tuple[int, int] = struct.field(pytree_node=False)
     nnz: int = struct.field(pytree_node=False)
+    # host-precomputed CSC-order permutation of the padded COO arrays
+    # (static per graph) — transpose_view's edge ordering without an
+    # on-device sort; None for symmetric matrices (transpose == self)
+    t_perm: Optional[jax.Array] = None
     backend: str = struct.field(pytree_node=False, default="segment")
     symmetric: bool = struct.field(pytree_node=False, default=False)
     # "highest" = full f32 on the MXU (6 bf16 passes, activation-parity
@@ -124,7 +128,8 @@ class SparseMatrix:
         """A SparseMatrix computing ``Aᵀ @ x`` — used by the SpMM VJP."""
         if self.symmetric:
             return self
-        order = jnp.argsort(self.cols, stable=True)
+        order = (self.t_perm if self.t_perm is not None
+                 else jnp.argsort(self.cols, stable=True))
         return SparseMatrix(
             rows=self.cols[order],
             cols=self.rows[order],
@@ -210,6 +215,11 @@ class SparseMatrix:
             if build_transpose:
                 bsr_t = _build_bsr(sp.csr_matrix(csr.T), block_size, pdt)
 
+        t_perm = None
+        if not symmetric:
+            t_perm = jnp.asarray(
+                np.argsort(cols, kind="stable").astype(np.int32)
+            )
         return cls(
             rows=jnp.asarray(rows),
             cols=jnp.asarray(cols),
@@ -217,6 +227,7 @@ class SparseMatrix:
             dense=dense,
             bsr=bsr,
             bsr_t=bsr_t,
+            t_perm=t_perm,
             shape=(n, m),
             nnz=nnz,
             backend=backend,
@@ -247,14 +258,27 @@ def _build_bsr(csr, block_size: int, payload_dtype=None) -> BSR:
     block_cols = sbsr.indices.astype(np.int32)
     blocks = np.asarray(sbsr.data, dtype=csr.dtype)
 
-    empty = np.where(counts == 0)[0].astype(np.int32)
-    if empty.size:
+    # Zero filler blocks guarantee every block ROW and every block COLUMN
+    # appears at least once: forward kernels write each output row tile, and
+    # transpose-direction passes (e.g. the attention backward) write each
+    # column tile. Fillers are all-zero payloads — numerically inert.
+    empty_rows = np.where(counts == 0)[0].astype(np.int32)
+    present_cols = np.unique(block_cols)
+    empty_cols = np.setdiff1d(
+        np.arange(n_cb, dtype=np.int32), present_cols
+    ).astype(np.int32)
+    n_fill = empty_rows.size + empty_cols.size
+    if n_fill:
         blocks = np.concatenate(
-            [blocks, np.zeros((empty.size, B, B), dtype=blocks.dtype)], axis=0
+            [blocks, np.zeros((n_fill, B, B), dtype=blocks.dtype)], axis=0
         )
-        block_rows = np.concatenate([block_rows, empty])
+        block_rows = np.concatenate(
+            [block_rows, empty_rows,
+             np.zeros(empty_cols.size, dtype=np.int32)]
+        )
         block_cols = np.concatenate(
-            [block_cols, np.zeros(empty.size, dtype=np.int32)]
+            [block_cols, np.zeros(empty_rows.size, dtype=np.int32),
+             empty_cols]
         )
         order = np.lexsort((block_cols, block_rows))
         blocks, block_rows, block_cols = blocks[order], block_rows[order], block_cols[order]

@@ -96,50 +96,15 @@ def bsr_gat_attention(bsr, f1, f2, h, *, num_heads: int, feat: int,
     """Fused graph attention over a BSR adjacency mask.
 
     ``bsr``: binary adjacency blocks (self loops included), blocks sorted by
-    (row, col), every row block present. ``f1, f2: [N, H]``; ``h: [N, H·F]``.
-    Returns ``[n_out, H·F]`` — per-head attention-weighted neighbor sums.
+    (row, col), every row/column block present. ``f1, f2: [N, H]``;
+    ``h: [N, H·F]``. Returns ``[n_out, H·F]`` — per-head attention-weighted
+    neighbor sums. (Delegates to the stats kernel; see :func:`gat_attention`
+    for the differentiable entry point.)
     """
-    B = bsr.block_size
-    nb = bsr.blocks.shape[0]
-    n_pad = bsr.n_col_blocks * B
-    hf = num_heads * feat
-
-    def pad(x, width):
-        out = jnp.zeros((n_pad, width), dtype=jnp.float32)
-        return out.at[: x.shape[0], : x.shape[1]].set(x.astype(jnp.float32))
-
-    # lane padding: heads → multiple of 128 is NOT required for non-final
-    # dims, but keep feature width lane-aligned
-    h_pad_w = max(128, -(-hf // 128) * 128)
-    f_lane = max(128, -(-num_heads // 128) * 128)
-    f1p = pad(f1, f_lane)
-    f2p = pad(f2, f_lane)
-    hp = pad(h, h_pad_w)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((1, B, B), lambda i, br, bc: (i, 0, 0)),
-            pl.BlockSpec((B, f_lane), lambda i, br, bc: (br[i], 0)),
-            pl.BlockSpec((B, f_lane), lambda i, br, bc: (bc[i], 0)),
-            pl.BlockSpec((B, h_pad_w), lambda i, br, bc: (bc[i], 0)),
-        ],
-        out_specs=pl.BlockSpec((B, h_pad_w), lambda i, br, bc: (br[i], 0)),
-        scratch_shapes=[
-            pltpu.VMEM((B, f_lane), jnp.float32),   # running max per head
-            pltpu.VMEM((B, f_lane), jnp.float32),   # running normalizer
-            pltpu.VMEM((B, h_pad_w), jnp.float32),  # output accumulator
-        ],
-    )
-    out = pl.pallas_call(
-        _make_kernel(num_heads, feat, nb, slope),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((bsr.n_row_blocks * B, h_pad_w),
-                                       jnp.float32),
-        interpret=interpret,
-    )(bsr.block_rows, bsr.block_cols,
-      bsr.blocks.astype(jnp.float32), f1p, f2p, hp)
+    _, _, hf, _, _ = _attn_dims(bsr, num_heads, feat)
+    f1p, f2p, hp = _pad_attn_inputs(bsr, f1, f2, h, num_heads, feat)
+    out, _, _ = _fwd_stats_call(bsr, f1p, f2p, hp, num_heads, feat, slope,
+                                interpret)
     return out[:n_out, :hf]
 
 
@@ -171,6 +136,65 @@ def _make_fwd_stats_kernel(num_heads: int, feat: int, nb: int, slope: float):
             l_out_ref[...] = l_scr[...]
 
     return kernel
+
+
+def _attn_dims(bsr, num_heads: int, feat: int):
+    B = bsr.block_size
+    n_pad = bsr.n_col_blocks * B
+    hf = num_heads * feat
+    # lane padding: keep feature width lane-aligned
+    h_pad_w = max(128, -(-hf // 128) * 128)
+    f_lane = max(128, -(-num_heads // 128) * 128)
+    return B, n_pad, hf, h_pad_w, f_lane
+
+
+def _pad_attn_inputs(bsr, f1, f2, h, num_heads: int, feat: int):
+    _, n_pad, _, h_pad_w, f_lane = _attn_dims(bsr, num_heads, feat)
+
+    def pad(x, width):
+        out = jnp.zeros((n_pad, width), dtype=jnp.float32)
+        return out.at[: x.shape[0], : x.shape[1]].set(x.astype(jnp.float32))
+
+    return pad(f1, f_lane), pad(f2, f_lane), pad(h, h_pad_w)
+
+
+def _fwd_stats_call(bsr, f1p, f2p, hp, num_heads: int, feat: int,
+                    slope: float, interpret: bool):
+    """One pallas launch: fused attention + per-row softmax stats (m, l)."""
+    B, _, _, h_pad_w, f_lane = _attn_dims(bsr, num_heads, feat)
+    nb = bsr.blocks.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, B, B), lambda i, br, bc: (i, 0, 0)),
+            pl.BlockSpec((B, f_lane), lambda i, br, bc: (br[i], 0)),
+            pl.BlockSpec((B, f_lane), lambda i, br, bc: (bc[i], 0)),
+            pl.BlockSpec((B, h_pad_w), lambda i, br, bc: (bc[i], 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((B, h_pad_w), lambda i, br, bc: (br[i], 0)),
+            pl.BlockSpec((B, f_lane), lambda i, br, bc: (br[i], 0)),
+            pl.BlockSpec((B, f_lane), lambda i, br, bc: (br[i], 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, f_lane), jnp.float32),   # running max per head
+            pltpu.VMEM((B, f_lane), jnp.float32),   # running normalizer
+            pltpu.VMEM((B, h_pad_w), jnp.float32),  # output accumulator
+        ],
+    )
+    return pl.pallas_call(
+        _make_fwd_stats_kernel(num_heads, feat, nb, slope),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((bsr.n_row_blocks * B, h_pad_w), jnp.float32),
+            jax.ShapeDtypeStruct((bsr.n_row_blocks * B, f_lane), jnp.float32),
+            jax.ShapeDtypeStruct((bsr.n_row_blocks * B, f_lane), jnp.float32),
+        ),
+        interpret=interpret,
+    )(bsr.block_rows, bsr.block_cols,
+      bsr.blocks.astype(jnp.float32), f1p, f2p, hp)
+
 
 
 def _block_alpha(a_ref, f1k, f2k, mk, lk, slope):
@@ -310,54 +334,18 @@ def _gat_attention_vjp(bsr, num_heads, feat, n_out, slope, interpret):
     h_pad_w = max(128, -(-hf // 128) * 128)
     f_lane = max(128, -(-num_heads // 128) * 128)
 
-    def pad(x, width):
-        out = jnp.zeros((n_pad, width), dtype=jnp.float32)
-        return out.at[: x.shape[0], : x.shape[1]].set(x.astype(jnp.float32))
-
-    def fwd_stats(f1, f2, h):
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(nb,),
-            in_specs=[
-                pl.BlockSpec((1, B, B), lambda i, br, bc: (i, 0, 0)),
-                pl.BlockSpec((B, f_lane), lambda i, br, bc: (br[i], 0)),
-                pl.BlockSpec((B, f_lane), lambda i, br, bc: (bc[i], 0)),
-                pl.BlockSpec((B, h_pad_w), lambda i, br, bc: (bc[i], 0)),
-            ],
-            out_specs=(
-                pl.BlockSpec((B, h_pad_w), lambda i, br, bc: (br[i], 0)),
-                pl.BlockSpec((B, f_lane), lambda i, br, bc: (br[i], 0)),
-                pl.BlockSpec((B, f_lane), lambda i, br, bc: (br[i], 0)),
-            ),
-            scratch_shapes=[
-                pltpu.VMEM((B, f_lane), jnp.float32),
-                pltpu.VMEM((B, f_lane), jnp.float32),
-                pltpu.VMEM((B, h_pad_w), jnp.float32),
-            ],
-        )
-        return pl.pallas_call(
-            _make_fwd_stats_kernel(num_heads, feat, nb, slope),
-            grid_spec=grid_spec,
-            out_shape=(
-                jax.ShapeDtypeStruct((bsr.n_row_blocks * B, h_pad_w),
-                                     jnp.float32),
-                jax.ShapeDtypeStruct((bsr.n_row_blocks * B, f_lane),
-                                     jnp.float32),
-                jax.ShapeDtypeStruct((bsr.n_row_blocks * B, f_lane),
-                                     jnp.float32),
-            ),
-            interpret=interpret,
-        )(bsr.block_rows, bsr.block_cols,
-          bsr.blocks.astype(jnp.float32), f1, f2, h)
+    def fwd_stats(f1p, f2p, hp):
+        return _fwd_stats_call(bsr, f1p, f2p, hp, num_heads, feat, slope,
+                               interpret)
 
     @jax.custom_vjp
     def _apply(f1, f2, h):
-        f1p, f2p, hp = pad(f1, f_lane), pad(f2, f_lane), pad(h, h_pad_w)
+        f1p, f2p, hp = _pad_attn_inputs(bsr, f1, f2, h, num_heads, feat)
         out, _, _ = fwd_stats(f1p, f2p, hp)
         return out[:n_out, :hf]
 
     def _apply_fwd(f1, f2, h):
-        f1p, f2p, hp = pad(f1, f_lane), pad(f2, f_lane), pad(h, h_pad_w)
+        f1p, f2p, hp = _pad_attn_inputs(bsr, f1, f2, h, num_heads, feat)
         out, m, l = fwd_stats(f1p, f2p, hp)
         return out[:n_out, :hf], (f1p, f2p, hp, out, m, l)
 
