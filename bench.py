@@ -98,7 +98,8 @@ def main():
 
     # --- aggregation edges/s per backend -----------------------------------
     results = {}
-    backends = ["bsr", "dense", "segment"] if platform == "tpu" else ["segment", "dense"]
+    backends = (["auto", "bsr", "dense", "segment"] if platform == "tpu"
+                else ["auto", "segment", "dense"])
     # matrices are jit ARGUMENTS (not closure constants) so the compiled
     # program stays small — closure capture bakes the payload into the HLO,
     # which breaks remote-compile setups and bloats the executable

@@ -113,8 +113,8 @@ class GraphSAGENetwork:
                 [valid, jnp.ones((table.shape[0], 1), bool)], axis=1
             )
         dmax = table.shape[1]
-        if num_sample is None or num_sample >= dmax:
-            sel, sel_valid = table, valid
+        if num_sample is None or num_sample <= 0 or num_sample >= dmax:
+            sel, sel_valid = table, valid  # full-neighbor mean
         else:
             scores = jax.random.uniform(key, table.shape)
             scores = jnp.where(valid, scores, -jnp.inf)
@@ -167,7 +167,9 @@ def add_subparser_args(parser):
     group.add_argument("--batch_size", default=256, type=int)
     group.add_argument("--lr", "--learning_rate", default=0.7, type=float)
     group.add_argument("--hid_units", default=128, type=int)
-    group.add_argument("--num_samples", nargs="+", default=[5, 5], type=int)
+    group.add_argument("--num_samples", nargs="+", default=[5, 5], type=int,
+                       help="Neighbor sample fan-out per layer; 0 or "
+                            "negative = all neighbors (full-neighbor mode)")
     group.add_argument("--gcn_encoder", action="store_true")
     group.add_argument("--gcn_aggregator", action="store_true")
     group.add_argument("--model_class", choices=[
