@@ -221,6 +221,52 @@ class PlanetoidData:
     def label_count(self):
         return self.y_train.sum(0) + self.y_val.sum(0) + self.y_test.sum(0)
 
+    def sort_label_by_size(self, descending=True):
+        """Class ids ordered by size (reference _dataset.py:432-436)."""
+        order = np.argsort(np.asarray(self.label_count))
+        return order[::-1] if descending else order
+
+    def feature_sample_eligible(self, label_count):
+        """Can this dataset donate features for the given class sizes?
+        (reference _dataset.py:457-461)"""
+        own = np.sort(np.asarray(self.label_count))[::-1]
+        want = np.sort(np.asarray(label_count))[::-1]
+        if len(want) > len(own):
+            return False
+        return bool(np.all(want <= own[: len(want)]))
+
+    def get_sample_mask(self, label=slice(None), *scopes):
+        """Mask of nodes with the given label(s) in the given scopes
+        (reference _dataset.py:380-398)."""
+        if len(scopes) == 0:
+            scopes = ("train", "val", "test")
+        if not isinstance(label, slice):
+            label = np.array(label).reshape(-1)
+        mask = np.zeros(self.num_samples, dtype=bool)
+        for scope in scopes:
+            y_scope = self._dense_data[f"y_{scope}"]
+            mask |= np.any(y_scope[:, label] == 1, axis=1)
+        return mask
+
+    def split_training_set(self, splits=2):
+        """Round-robin per-class split of the training set
+        (reference _dataset.py:463-474)."""
+        self.train_mask_splits = np.zeros(
+            (splits,) + self.train_mask.shape, dtype=self.train_mask.dtype
+        )
+        self.y_train_splits = np.zeros(
+            (splits,) + self.y_train.shape, dtype=self.y_train.dtype
+        )
+        for label in range(self.y_train.shape[1]):
+            available = np.where(self.y_train[:, label])[0]
+            for i, index in enumerate(available):
+                self.train_mask_splits[i % splits, index] = (
+                    self.train_mask[index]
+                )
+                self.y_train_splits[i % splits, index, :] = (
+                    self.y_train[index, :]
+                )
+
     # ---------------------------------------------------------- preprocessing
     def adj_add_eye(self):
         self.sparse_adj = transforms.add_eye(self.sparse_adj)

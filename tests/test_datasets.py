@@ -123,3 +123,18 @@ def test_hop_saturation_pads_empty_matrices():
     t = ds.get_tensors(get_adj_norm_hops=["1", "2"], backend="segment")
     assert len(t.adj_hops) == 2
     assert t.adj_hops[1].nnz == 0  # exact-2-hop is empty, not a crash
+
+
+def test_sample_masks_and_splits(cora):
+    cora.reload_data()
+    order = cora.sort_label_by_size()
+    counts = np.asarray(cora.label_count)
+    assert (np.diff(counts[order]) <= 0).all()
+    assert cora.feature_sample_eligible([100, 100])
+    assert not cora.feature_sample_eligible([5000])
+    m = cora.get_sample_mask([0], "train")
+    assert m.sum() == cora.y_train[:, 0].sum()
+    cora.split_training_set(2)
+    total = cora.train_mask_splits.sum()
+    assert total == cora.train_mask.sum()
+    assert not (cora.train_mask_splits[0] & cora.train_mask_splits[1]).any()
