@@ -98,7 +98,10 @@ def main():
 
     # --- aggregation edges/s per backend -----------------------------------
     results = {}
-    backends = (["auto", "bsr", "dense", "segment"] if platform == "tpu"
+    # NOTE: measured first-to-last; on tunneled TPU runtimes, later rows can
+    # read slow due to relay drift within a process — the headline "value"
+    # therefore uses the earliest (freshest) rows first: auto, then dense.
+    backends = (["auto", "dense", "bsr", "segment"] if platform == "tpu"
                 else ["auto", "segment", "dense"])
     # matrices are jit ARGUMENTS (not closure constants) so the compiled
     # program stays small — closure capture bakes the payload into the HLO,
