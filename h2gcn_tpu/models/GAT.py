@@ -78,11 +78,12 @@ class GATNetwork:
         dims = [input_dim] + [h * k for h, k in
                               zip(self.hid_units, self.n_heads[:-1])]
         out_dims = self.hid_units + [self.num_classes]
+        n_layers = len(out_dims)
         for li, (din, dout) in enumerate(zip(dims, out_dims)):
             heads = []
             for hi in range(self.n_heads[li] if li < len(self.n_heads) else 1):
                 k = jax.random.fold_in(rng, li * 100 + hi)
-                heads.append({
+                head = {
                     "W": glorot(jax.random.fold_in(k, 0), (din, dout),
                                 jnp.float32),
                     "a1": glorot(jax.random.fold_in(k, 1), (dout, 1),
@@ -92,11 +93,19 @@ class GATNetwork:
                     "b1": jnp.zeros((), jnp.float32),
                     "b2": jnp.zeros((), jnp.float32),
                     "bias": jnp.zeros((dout,), jnp.float32),
-                })
+                }
+                if self.residual and li < n_layers - 1 and din != dout:
+                    # learned 1x1 projection for the residual when dims
+                    # differ (reference utils/layers.py:94-99 conv1d)
+                    head["Wres"] = glorot(jax.random.fold_in(k, 3),
+                                          (din, dout), jnp.float32)
+                    head["bres"] = jnp.zeros((dout,), jnp.float32)
+                heads.append(head)
             layers.append(heads)
         return {"layers": layers}
 
-    def _attn_head(self, p, x, adj, *, training, key, capture_alpha=None):
+    def _attn_head(self, p, x, adj, *, training, key, capture_alpha=None,
+               residual=False):
         rows, cols = adj.rows, adj.cols
         edge_valid = adj.vals > 0  # padding entries carry value 0
         n = adj.shape[0]
@@ -119,16 +128,26 @@ class GATNetwork:
             num_segments=n, indices_are_sorted=True,
         )
         out = out + p["bias"]
+        if residual:
+            # pre-activation residual (reference utils/layers.py:94-99);
+            # uses the post-input-dropout x, as the reference reassigns seq
+            if "Wres" in p:
+                out = out + jnp.matmul(
+                    x, p["Wres"], precision=jax.lax.Precision.HIGHEST
+                ) + p["bres"]
+            else:
+                out = out + x
         if capture_alpha is not None:
             capture_alpha.append(alpha)
         return out
 
-    def _fused_layer(self, heads, x, adj, *, training, rng, layer_idx):
+    def _fused_layer(self, heads, x, adj, *, training, rng, layer_idx,
+                 residual=False):
         """All heads of one layer through the fused Pallas attention kernel."""
         from ..nn.ops import dropout as _dropout
         from ..sparse.pallas_attention import gat_attention
 
-        h_parts, f1_parts, f2_parts = [], [], []
+        h_parts, f1_parts, f2_parts, xd_parts = [], [], [], []
         for hi, p in enumerate(heads):
             # same dropout structure and per-head keys as the unfused path:
             # logits come from the PRE-dropout transform; only the
@@ -136,6 +155,7 @@ class GATNetwork:
             key = (jax.random.fold_in(rng, layer_idx * 1000 + hi)
                    if rng is not None else None)
             xd = _dropout(x, self.in_drop, key, 0, training=training)
+            xd_parts.append(xd)
             hk = jnp.matmul(xd, p["W"], precision=jax.lax.Precision.HIGHEST)
             f1_parts.append(hk @ p["a1"] + p["b1"])
             f2_parts.append(hk @ p["a2"] + p["b2"])
@@ -150,10 +170,19 @@ class GATNetwork:
             num_heads=len(heads), feat=feat, n_out=x.shape[0],
             interpret=(jax.default_backend() not in ("tpu", "gpu")),
         )
-        return [
-            out[:, k * feat:(k + 1) * feat] + p["bias"]
-            for k, p in enumerate(heads)
-        ]
+        outs = []
+        for k, p in enumerate(heads):
+            o = out[:, k * feat:(k + 1) * feat] + p["bias"]
+            if residual:
+                xd = xd_parts[k]
+                if "Wres" in p:
+                    o = o + jnp.matmul(
+                        xd, p["Wres"], precision=jax.lax.Precision.HIGHEST
+                    ) + p["bres"]
+                else:
+                    o = o + xd
+            outs.append(o)
+        return outs
 
     def apply(self, params, adj, x, adjhops, *, training=False, rng=None,
               capture=None, **kw):
@@ -172,15 +201,13 @@ class GATNetwork:
         # getAttnCoeff returns a per-attention-layer list, H2GCN.py:355-360)
         all_alphas = [] if capture is not None else None
         for li, heads in enumerate(params["layers"]):
+            layer_residual = self.residual and li < n_layers - 1
             if use_fused:
                 outs = self._fused_layer(heads, h, adj, training=training,
-                                         rng=rng, layer_idx=li)
+                                         rng=rng, layer_idx=li,
+                                         residual=layer_residual)
                 if li < n_layers - 1:
-                    new_h = jnp.concatenate(
-                        [jax.nn.elu(o) for o in outs], axis=1)
-                    if self.residual and new_h.shape[1] == h.shape[1]:
-                        new_h = new_h + h
-                    h = new_h
+                    h = jnp.concatenate([jax.nn.elu(o) for o in outs], axis=1)
                 else:
                     h = sum(outs) / len(outs)
                 continue
@@ -191,15 +218,13 @@ class GATNetwork:
                        if rng is not None else None)
                 outs.append(self._attn_head(
                     p, h, adj, training=training, key=key,
-                    capture_alpha=layer_alphas,
+                    capture_alpha=layer_alphas, residual=layer_residual,
                 ))
             if capture is not None:
                 all_alphas.append(jnp.stack(layer_alphas))
             if li < n_layers - 1:
-                new_h = jnp.concatenate([jax.nn.elu(o) for o in outs], axis=1)
-                if self.residual and new_h.shape[1] == h.shape[1]:
-                    new_h = new_h + h
-                h = new_h
+                # residual already applied per head, pre-activation
+                h = jnp.concatenate([jax.nn.elu(o) for o in outs], axis=1)
             else:
                 h = sum(outs) / len(outs)  # output heads averaged, no act
             if capture is not None:

@@ -49,6 +49,27 @@ def get_optimizer(name: str, lr: float):
         )
 
 
+def update_best_val_stats(args, epoch_stats, epoch, ckpt=None) -> bool:
+    """Apply the best-val-criteria comparison and update the best record.
+
+    Single source of truth for model selection (ties → later epoch, like
+    the reference H2GCN.py:158-171); used by both the per-epoch protocol and
+    the blocked loop.
+    """
+    op = operator.ge if args.best_val_criteria == "val_acc" else operator.le
+    best = args.objects["best_val_stats"]
+    if best is None or op(
+        float(epoch_stats[args.best_val_criteria]),
+        float(best[args.best_val_criteria]),
+    ):
+        new_best = dict(epoch_stats)
+        new_best["epoch"] = epoch
+        new_best["ckpt"] = ckpt
+        args.objects["best_val_stats"] = new_best
+        return True
+    return False
+
+
 def initialize_model(args, model, optimizer_name, lr, early_stopping,
                      seed=None, es_metric="val_loss"):
     """Build params/optimizer and register step fns + callbacks in args.objects.
@@ -200,7 +221,7 @@ def initialize_model(args, model, optimizer_name, lr, early_stopping,
     # may see up to K-1 extra epochs (documented deviation).
     def _epoch_body(carry, epoch_idx, adj, adj_hops, features, y_train,
                     train_mask, y_val, val_mask, y_test, test_mask):
-        params, opt_state, best_params, best_crit = carry
+        params, opt_state, best_params, best_opt, best_crit = carry
         rng = jax.random.fold_in(rng_base, epoch_idx)
 
         def loss_fn(p):
@@ -227,8 +248,11 @@ def initialize_model(args, model, optimizer_name, lr, early_stopping,
         best_params = jax.tree_util.tree_map(
             lambda new, old: jnp.where(better, new, old), params, best_params
         )
+        best_opt = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(better, new, old), opt_state, best_opt
+        )
         best_crit = jnp.where(better, crit, best_crit)
-        return (params, opt_state, best_params, best_crit), stats
+        return (params, opt_state, best_params, best_opt, best_crit), stats
 
     @functools.partial(jax.jit, static_argnames=("k",))
     def _train_block(carry, start_epoch, k, adj, adj_hops, features, y_train,
@@ -246,16 +270,17 @@ def initialize_model(args, model, optimizer_name, lr, early_stopping,
         if carry is None:
             st = args.objects["state"]
             crit0 = jnp.float32(-jnp.inf)
-            carry = (st["params"], st["opt_state"], st["params"], crit0)
+            carry = (st["params"], st["opt_state"], st["params"],
+                     st["opt_state"], crit0)
         carry, stats = _train_block(
             carry, jnp.int32(start_epoch), k, adj, adj_hops, features,
             y_train, train_mask, y_val, val_mask, y_test, test_mask,
         )
         args.objects["block_carry"] = carry
-        params, opt_state, best_params, _ = carry
+        params, opt_state, best_params, best_opt, _ = carry
         args.objects["state"] = {"params": params, "opt_state": opt_state}
         args.objects["best_state"] = {"params": best_params,
-                                      "opt_state": opt_state}
+                                      "opt_state": best_opt}
         return {key: np.asarray(v) for key, v in stats.items()}
 
     args.objects["train_block"] = train_block
@@ -297,18 +322,11 @@ def _register_protocol(args, model, test_step, early_stopping, es_metric):
                 args.objects["state"], args, epoch, epoch_stats
             )
 
-        op = operator.ge if args.best_val_criteria == "val_acc" else operator.le
-        best = args.objects["best_val_stats"]
-        if best is None or op(
-            float(epoch_stats[args.best_val_criteria]),
-            float(best[args.best_val_criteria]),
-        ):
-            if every_epoch and best is not None:
-                logger.remove_ckpt(args, best.get("ckpt"))
-            new_best = dict(epoch_stats)
-            new_best["epoch"] = epoch
-            new_best["ckpt"] = args.objects["current_ckpt"]
-            args.objects["best_val_stats"] = new_best
+        prev_best = args.objects["best_val_stats"]
+        if update_best_val_stats(args, epoch_stats, epoch,
+                                 ckpt=args.objects["current_ckpt"]):
+            if every_epoch and prev_best is not None:
+                logger.remove_ckpt(args, prev_best.get("ckpt"))
             # Params are immutable pytrees: holding the reference IS the
             # checkpoint (no copy, no IO).
             args.objects["best_state"] = args.objects["state"]
@@ -364,8 +382,8 @@ def _initialize_distributed(args, model, tx, params, opt_state,
     from ..parallel.mesh import make_mesh
 
     tensors = args.objects["tensors"]
-    hops = tensors.get("adj_hops") or []
-    assert isinstance(hops, (list, tuple)) and hops, (
+    hops = tensors.get("adj_hops")
+    assert isinstance(hops, (list, tuple)) and len(hops) > 0, (
         "--mesh_shards requires hop-matrix models (H2GCN/GCN families)")
     mode = getattr(args, "_halo_mode", "ring") or "ring"
     mesh = make_mesh(mesh_shards)
@@ -404,6 +422,12 @@ def _initialize_distributed(args, model, tx, params, opt_state,
                                  "opt_state": new_opt_state}
         return dict(train_loss=loss)
 
+    n_real = args.objects["dataset"].num_samples
+
+    def predict_step(**kwargs):
+        st = args.objects["state"]
+        return train_fn.logits(st["params"], dd["features"])[:n_real]
+
     def test_step(verbose=None, save_activations=False,
                   save_predictions=False, **kwargs):
         st = args.objects["state"]
@@ -412,14 +436,32 @@ def _initialize_distributed(args, model, tx, params, opt_state,
             dd["y_val"], dd["val_mask"], dd["y_test"], dd["test_mask"],
         ))
         stats["monitor"] = dict()
+        if args.use_signac and save_predictions:
+            job = args.objects["signac_job"]
+            job.data["predicted_prob"] = np.asarray(predict_step())
+            for scope in ("train", "val", "test"):
+                job.data[f"{scope}_mask"] = np.asarray(
+                    tensors[f"{scope}_mask"]
+                )
+        if save_activations:
+            print("===> save_activations is not supported with "
+                  "--mesh_shards; skipping (run single-chip for the "
+                  "activation-dump parity harness)")
         return stats
+
+    def _unsupported(name):
+        def step(**kwargs):
+            raise NotImplementedError(
+                f"{name} is not available with --mesh_shards")
+
+        return step
 
     def train_block(k, start_epoch, **kwargs):
         carry = args.objects.get("block_carry")
         if carry is None:
             st = args.objects["state"]
             carry = (st["params"], st["opt_state"], st["params"],
-                     jnp.float32(-jnp.inf))
+                     st["opt_state"], jnp.float32(-jnp.inf))
         carry, stats = train_fn.block(
             carry, start_epoch, k, rng_base,
             args.best_val_criteria == "val_acc",
@@ -427,13 +469,16 @@ def _initialize_distributed(args, model, tx, params, opt_state,
             dd["y_val"], dd["val_mask"], dd["y_test"], dd["test_mask"],
         )
         args.objects["block_carry"] = carry
-        params_c, opt_c, best_params, _ = carry
+        params_c, opt_c, best_params, best_opt, _ = carry
         args.objects["state"] = {"params": params_c, "opt_state": opt_c}
         args.objects["best_state"] = {"params": best_params,
-                                      "opt_state": opt_c}
+                                      "opt_state": best_opt}
         return {key: np.asarray(v) for key, v in stats.items()}
 
     args.objects["train_step"] = train_step
     args.objects["test_step"] = test_step
     args.objects["train_block"] = train_block
+    args.objects["predict_step"] = predict_step
+    args.objects["embed_step"] = _unsupported("embed_step")
+    args.objects["attn_step"] = _unsupported("attn_step")
     _register_protocol(args, model, test_step, early_stopping, es_metric)

@@ -59,9 +59,13 @@ def _aggregate(a, x):
 
 
 def _safe_lambda(expr: str):
-    """Evaluate a DSL lambda in a restricted namespace (jnp/jax.nn only)."""
+    """Evaluate a DSL lambda in a restricted namespace (jnp/jax.nn only).
+
+    The namespace must live in eval's GLOBALS — a lambda's free names
+    resolve through its ``__globals__``, not the eval locals.
+    """
     return eval(  # noqa: S307 — restricted globals, config-provided string
-        expr, {"__builtins__": {}}, {"jnp": jnp, "nn": jax.nn}
+        expr, {"__builtins__": {}, "jnp": jnp, "nn": jax.nn}
     )
 
 

@@ -164,6 +164,26 @@ def build_dist_steps(
 
     train_step.eval_full = eval_full_step  # extended contract for the runtime
 
+    def _local_logits(params, x, *hops):
+        hops_local = [h.local() for h in hops]
+        return model.apply(params, hops_local[0], x, hops_local,
+                           training=False)
+
+    logits_shard = jax.shard_map(
+        _local_logits, mesh=mesh,
+        in_specs=(P(), P(axis)) + hop_specs,
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    _logits_jit = jax.jit(
+        lambda params, x, hops: logits_shard(params, x, *hops)
+    )
+
+    def logits_step(params, x):
+        return _logits_jit(params, x, hop_shards)
+
+    train_step.logits = logits_step
+
     # ---- blocked (lax.scan) distributed epochs ----------------------------
     # Same design as the single-chip --epochs_per_block path: K epochs per
     # compiled program with the best-validation parameters tracked on device,
@@ -172,7 +192,7 @@ def build_dist_steps(
     def _epoch_body_local(carry, epoch_idx, rng_base, best_is_acc, x, y_train,
                           train_mask, y_val, val_mask, y_test, test_mask,
                           *hops):
-        params, opt_state, best_params, best_crit = carry
+        params, opt_state, best_params, best_opt, best_crit = carry
         rng = jax.random.fold_in(rng_base, epoch_idx)
         params, opt_state, train_loss = _local_train(
             params, opt_state, rng, x, y_train, train_mask, *hops
@@ -185,8 +205,11 @@ def build_dist_steps(
         best_params = jax.tree_util.tree_map(
             lambda new, old: jnp.where(better, new, old), params, best_params
         )
+        best_opt = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(better, new, old), opt_state, best_opt
+        )
         best_crit = jnp.where(better, crit, best_crit)
-        return (params, opt_state, best_params, best_crit), stats
+        return (params, opt_state, best_params, best_opt, best_crit), stats
 
     def _block_local(carry, start_epoch, k, rng_base, best_is_acc, x, y_train,
                      train_mask, y_val, val_mask, y_test, test_mask, *hops):
@@ -209,9 +232,9 @@ def build_dist_steps(
             jax.shard_map(
                 body,
                 mesh=mesh,
-                in_specs=((P(), P(), P(), P()), P(), P(), P())
+                in_specs=((P(), P(), P(), P(), P()), P(), P(), P())
                 + (P(axis),) * 7 + hop_specs,
-                out_specs=((P(), P(), P(), P()), P()),
+                out_specs=((P(), P(), P(), P(), P()), P()),
                 check_vma=False,
             )
         )

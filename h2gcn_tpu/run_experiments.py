@@ -87,8 +87,8 @@ def main(argv=None):
     timing = getattr(args, "_timing", False)
     nnz_per_epoch = 0
     if timing:
-        hops = args.objects["tensors"].get("adj_hops") or []
-        if isinstance(hops, (list, tuple)):
+        hops = args.objects["tensors"].get("adj_hops")
+        if isinstance(hops, (list, tuple)):  # dense-stack hops have no nnz
             nnz_per_epoch = sum(getattr(h, "nnz", 0) for h in hops)
         args.objects["epoch_times"] = []
     profile_dir = getattr(args, "_profile_dir", None)
@@ -96,18 +96,25 @@ def main(argv=None):
     import time as _time
 
     block_k = getattr(args, "_epochs_per_block", 1) or 1
+    ran_blocked = False
     if block_k > 1 and "train_block" in args.objects:
         if args.objects["pre_epoch_callbacks"]:
             print("===> --epochs_per_block ignored: model registered "
                   "per-epoch callbacks (e.g. minibatch re-masking)")
         else:
-            return _blocked_loop(args, block_k)
+            if profile_dir:
+                print("===> --profile_dir is a per-epoch-loop feature; "
+                      "ignored with --epochs_per_block")
+            _blocked_loop(args, block_k)
+            ran_blocked = True
 
-    args.current_epoch = 0
-    while args.current_epoch < args.epochs:
+    args.current_epoch = 0 if not ran_blocked else args.current_epoch
+    trace_active = False
+    while not ran_blocked and args.current_epoch < args.epochs:
         args.current_epoch += 1
         if profile_dir and args.current_epoch == 3:
             jax.profiler.start_trace(profile_dir)
+            trace_active = True
         t_epoch = _time.perf_counter()
         for func in args.objects["pre_epoch_callbacks"]:
             func(args.current_epoch, args)
@@ -127,8 +134,9 @@ def main(argv=None):
                 args.objects["epoch_stats"]["agg_edges_per_s"] = (
                     3 * nnz_per_epoch / dt
                 )
-        if profile_dir and args.current_epoch == 5:
+        if profile_dir and trace_active and args.current_epoch >= 5:
             jax.profiler.stop_trace()
+            trace_active = False
             print(f"===> Profiler trace written to {profile_dir}")
             profile_dir = None
         for func in args.objects["post_epoch_callbacks"]:
@@ -137,6 +145,11 @@ def main(argv=None):
                and len(args.objects["post_train_callbacks"]) > 0):
             func = args.objects["post_train_callbacks"].popleft()
             func(args)
+
+    if profile_dir and trace_active:
+        # run ended before epoch 5 (short run or early stop): flush the trace
+        jax.profiler.stop_trace()
+        print(f"===> Profiler trace written to {profile_dir}")
 
     if timing and args.objects.get("epoch_times"):
         times = args.objects["epoch_times"]
@@ -158,13 +171,13 @@ def _blocked_loop(args, k):
     same stat lines, sliding-mean early stopping, and best-val bookkeeping
     (parameters at the best epoch are tracked on device inside the block).
     """
-    import operator
     import time as _time
+
+    from .models._runtime import update_best_val_stats
 
     stats_printer = args.objects["statsPrinter"]
     early_stopping = args.objects["early_stopping"]
     es_metric = args.objects.get("es_metric", "val_loss")
-    op = operator.ge if args.best_val_criteria == "val_acc" else operator.le
 
     t0 = _time.perf_counter()
     args.current_epoch = 0
@@ -185,13 +198,7 @@ def _blocked_loop(args, k):
             epoch_stats["monitor"] = dict()
             args.objects["epoch_stats"] = epoch_stats
             stats_printer(args.current_epoch, epoch_stats)
-            best = args.objects["best_val_stats"]
-            if best is None or op(float(epoch_stats[args.best_val_criteria]),
-                                  float(best[args.best_val_criteria])):
-                new_best = dict(epoch_stats)
-                new_best["epoch"] = args.current_epoch
-                new_best["ckpt"] = None
-                args.objects["best_val_stats"] = new_best
+            update_best_val_stats(args, epoch_stats, args.current_epoch)
             if early_stopping(epoch_stats[es_metric]):
                 print("Early stopping...")
                 args.epochs = args.current_epoch
