@@ -12,16 +12,6 @@ import importlib
 import os
 import pkgutil
 
-import numpy as np
-
-random_state = np.random.RandomState()
-
-
-def set_random_seed(seed):
-    global random_state
-    random_state = np.random.RandomState(seed)
-
-
 def available_formats():
     return [
         modname

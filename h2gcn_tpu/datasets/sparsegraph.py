@@ -194,7 +194,9 @@ def to_binary_bag_of_words(features):
 
 
 def normalize_adj(A):
-    """Sym-normalize without self loops: D^-1/2 (A) D^-1/2."""
+    """Sym-normalize without self loops: D^-1/2 (A) D^-1/2 after removing
+    the diagonal (reference sparsegraph/preprocess.py:27-34)."""
+    A = eliminate_self_loops_adj(sp.csr_matrix(A))
     d = np.ravel(A.sum(1))
     with np.errstate(divide="ignore"):
         d_inv_sqrt = np.power(d, -0.5)

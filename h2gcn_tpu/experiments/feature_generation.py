@@ -125,7 +125,7 @@ def generate_split(adj_lists, ally, allx, split_config, out_dir,
     n_nodes = ally.shape[0]
     node_mapping = {}
     sampled_ind = np.zeros(n_nodes, dtype=bool)
-    words = split_config.split("_")
+    words = (split_config.split("_") + ["", "", ""])[:3]
 
     if train_indices is None:
         train_indices = select_indices(words[0], sampled_ind, n_nodes, ally,
@@ -146,7 +146,9 @@ def generate_split(adj_lists, ally, allx, split_config, out_dir,
 
     # scope sampling order depends on which modes are given (reference
     # feature_generation.py:244-255)
-    if words[1] != "" and words[2] == "":
+    if test_indices is not None and validation_indices is not None:
+        order = ["test", "validation"]  # stored split: nothing to sample
+    elif words[1] != "" and words[2] == "":
         order = ["validation", "test"]
     elif words[1] == "" and words[2] == "":
         raise ValueError(f"Unsupported split config {split_config}")
@@ -168,7 +170,7 @@ def generate_split(adj_lists, ally, allx, split_config, out_dir,
         else:
             validation_indices = indices
 
-    if test_indices is None:
+    if test_indices is None or validation_indices is None:
         return None
     tx = allx[test_indices, :]
     ty = ally[test_indices, :]

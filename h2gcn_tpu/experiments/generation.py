@@ -118,9 +118,26 @@ def generate_graph(job: Job, rng=None):
                 train_word = f"{int(train_sizes[0])}c"
             else:
                 train_word = str(int(ds.train_mask.sum()))
-            store_tools.get_split_project(feature_job).open_job({
-                "split_config": f"{train_word}__{int(ds.test_mask.sum())}"
+            split_config = f"{train_word}__{int(ds.test_mask.sum())}"
+            split_job = store_tools.get_split_project(feature_job).open_job({
+                "split_config": split_config
             }).init()
+            # Preserve the CANONICAL planetoid split: copy the original
+            # 8 files verbatim (reference copies them rather than
+            # re-sampling; re-sampling would change published-split
+            # results). Identity node mapping — the layout is unchanged.
+            import json as _json
+            import shutil as _shutil
+
+            fg_name = f"{sp_.graphName}-unmodified-{split_config}"
+            for ext in PLANETOID_SUFFIXES:
+                _shutil.copy2(
+                    Path(sp_.source_path) / f"{sp_.datasetName}.{ext}",
+                    split_job.fn(f"{fg_name}.{ext}"),
+                )
+            with open(split_job.fn("node_mapping.json"), "w") as f:
+                _json.dump({i: i for i in range(ds.num_samples)}, f)
+            split_job.doc.update(dict(succeeded=True, split_name=fg_name))
     elif method == "sparsegraph":
         from ..datasets import sparsegraph as sgio
 
@@ -255,12 +272,7 @@ def generate_feature(job: Job, cora_source=None):
             if source is None:
                 raise ValueError("cora_row sampling requires cora_source")
             class_size = np.sum(ally, axis=0)
-            eligible = (
-                np.all(np.sort(class_size)[::-1]
-                       <= np.sort(np.asarray(source.label_count))[::-1]
-                       [: len(class_size)])
-                if len(class_size) <= source.num_labels else False
-            )
+            eligible = source.feature_sample_eligible(class_size)
             if not eligible:
                 feature_job.doc["disabled"] = True
                 feature_job.doc["disable_reason"] = (
@@ -327,9 +339,18 @@ def generate_split(job: Job):
         else:
             allx = np.load(path)
         rng = reset_random_state(job.id, (split_job.id, fg_name))
+        tr_idx = te_idx = va_idx = None
+        split_source = split_job.sp.get("split_source")
+        if split_source:  # stored GeomGCN-style mask file → fixed indices
+            with np.load(split_source) as masks:
+                tr_idx = np.nonzero(masks["train_mask"])[0]
+                va_idx = np.nonzero(masks["val_mask"])[0]
+                te_idx = np.nonzero(masks["test_mask"])[0]
         result = feature_generation.generate_split(
-            adj_lists, ally, allx, split_job.sp.split_config,
+            adj_lists, ally, allx, split_job.sp.get("split_config", ""),
             split_job.workspace(), fg_name, rng=rng,
+            train_indices=tr_idx, test_indices=te_idx,
+            validation_indices=va_idx,
         )
         if result is None:
             split_job.doc["disabled"] = True

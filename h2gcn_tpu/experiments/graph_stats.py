@@ -20,17 +20,19 @@ from scipy.sparse import csgraph
 from .graphgen import MixhopGraphGenerator
 
 
-def _edge_list(adj):
-    coo = sp.triu(adj, k=1).tocoo()
+def _edge_list(adj, keep_diag=False):
+    coo = sp.triu(adj, k=0 if keep_diag else 1).tocoo()
     return coo.row, coo.col
 
 
 def getHomoEdgeRatio(adj, colors, **kw):
-    u, v = _edge_list(adj)
+    # self loops included, like the reference's G.edges() iteration
+    u, v = _edge_list(adj, keep_diag=True)
     labeled = (colors[u] > 0) & (colors[v] > 0)
     total = labeled.sum()
     same = ((colors[u] == colors[v]) & labeled).sum()
-    return {"homoEdgeRatio": float(same) / float(total)}
+    ratio = float(same) / float(total) if total else 0.0
+    return {"homoEdgeRatio": ratio}
 
 
 def getGeomGCNBeta(adj, colors, **kw):
@@ -105,17 +107,19 @@ def getNumComponents(adj, **kw):
 
 
 def getAvgShortestPath(adj, **kw):
-    """Pair-count-weighted mean shortest path over connected components."""
+    """Pair-count-weighted mean shortest path, computed per connected
+    component (full-graph shortest_path would allocate an n² matrix)."""
     n_comp, labels = csgraph.connected_components(adj, directed=False)
-    dist = csgraph.shortest_path(adj, method="D", unweighted=True,
-                                 directed=False)
+    adj = sp.csr_matrix(adj)
     pair_count = 0
     dist_count = 0.0
     for c in range(n_comp):
         nodes = np.nonzero(labels == c)[0]
         if len(nodes) < 2:
             continue
-        sub = dist[np.ix_(nodes, nodes)]
+        sub_adj = adj[np.ix_(nodes, nodes)]
+        sub = csgraph.shortest_path(sub_adj, method="D", unweighted=True,
+                                    directed=False)
         finite = np.isfinite(sub)
         np.fill_diagonal(finite, False)
         pair_count += finite.sum()

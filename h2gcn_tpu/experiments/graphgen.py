@@ -53,8 +53,10 @@ class GraphGenerator:
         path.parent.mkdir(parents=True, exist_ok=True)
         ally = np.zeros((len(colors), self.numClass))
         for v, color in enumerate(colors):
-            assert color > 0, f"Node {v} does not have a valid label"
-            ally[v][color - 1] = 1
+            if color > 0:
+                ally[v][color - 1] = 1
+            else:  # unlabeled nodes keep a zero row (reference graphgen.py:54)
+                print(f"Node {v} does not have a valid label!")
         with open(path, "wb") as f:
             pickle.dump(ally, f)
         return path

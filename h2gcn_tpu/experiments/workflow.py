@@ -187,7 +187,9 @@ def clean_workspace(graph_job: Job, config: dict):
         model_project = get_project(str(ws))
         for job_i in model_project:
             run_id = job_i.statepoint.get("run_id", "")
-            stale = md5 is None or not run_id.endswith(f"@{md5}")
+            base_id = (run_id[: -len("[tuning]")]
+                       if run_id.endswith("[tuning]") else run_id)
+            stale = md5 is None or not base_id.endswith(f"@{md5}")
             failed = not job_i.doc.get("succeeded", False)
             if stale or failed:
                 shutil.rmtree(job_i.workspace(), ignore_errors=True)

@@ -7,6 +7,7 @@ import scipy.sparse as sp
 from h2gcn_tpu.experiments import feature_generation as fg
 from h2gcn_tpu.experiments import graph_stats
 from h2gcn_tpu.experiments.graphgen import (
+    GraphGenerator,
     MixhopGraphGenerator,
     adj_lists_to_scipy,
 )
@@ -172,3 +173,69 @@ def test_row_sample(planetoid_path):
     assert allx.shape == (n, cora.feature_dim)
     # every synthetic node received a real (nonzero) cora feature row
     assert (np.abs(allx).sum(axis=1) > 0).all()
+
+
+def test_homo_ratio_no_labeled_edges():
+    adj = sp.csr_matrix(np.array([[0, 1], [1, 0]], dtype=np.float32))
+    colors = np.zeros(2, dtype=np.int64)  # all unlabeled
+    out = graph_stats.getHomoEdgeRatio(adj, colors)
+    assert out["homoEdgeRatio"] == 0.0
+
+
+def test_homo_ratio_counts_self_loops():
+    adj = sp.csr_matrix(np.array([[1, 1], [1, 0]], dtype=np.float32))
+    colors = np.array([1, 2], dtype=np.int64)
+    out = graph_stats.getHomoEdgeRatio(adj, colors)
+    # edges: (0,0) homophilous self loop, (0,1) heterophilous
+    assert out["homoEdgeRatio"] == 0.5
+
+
+def test_save_y_unlabeled_node_warns_not_crashes(tmp_path, capsys):
+    gen = GraphGenerator(2)
+    adj_lists = {0: [1], 1: [0], 2: []}
+    colors = np.array([1, 2, 0])  # node 2 unlabeled
+    gen.save_y(adj_lists, colors, str(tmp_path), "g")
+    import pickle
+
+    with open(tmp_path / "g.ally", "rb") as f:
+        ally = pickle.load(f)
+    assert np.all(ally[2] == 0) and ally[0, 0] == 1 and ally[1, 1] == 1
+    assert "valid label" in capsys.readouterr().out
+
+
+def test_generate_split_insufficient_validation_returns_none(tmp_path):
+    # 2 classes x 4 nodes; train takes 3/class, test takes 2/class —
+    # validation 1c then has too few remaining in one class? Use counts
+    # that exhaust the pool so validation select returns None.
+    ally = np.zeros((8, 2))
+    ally[:4, 0] = 1
+    ally[4:, 1] = 1
+    adj_lists = {i: [(i + 1) % 8] for i in range(8)}
+    rng = np.random.RandomState(0)
+    out = fg.generate_split(adj_lists, ally, ally.copy(), "2c_3c_2c",
+                            str(tmp_path), "g", rng=rng)
+    assert out is None  # validation needs 3/class, only 0 remain
+
+
+def test_generate_split_with_given_indices(tmp_path):
+    ally = np.zeros((9, 3))
+    for c in range(3):
+        ally[3 * c: 3 * (c + 1), c] = 1
+    allx = np.arange(9, dtype=float)[:, None] * np.ones((9, 4))
+    adj_lists = {i: [(i + 1) % 9] for i in range(9)}
+    tr = np.array([0, 3, 6])
+    va = np.array([1, 4, 7])
+    te = np.array([2, 5, 8])
+    out = fg.generate_split(adj_lists, ally, allx, "", str(tmp_path), "g",
+                            rng=np.random.RandomState(0),
+                            train_indices=tr, test_indices=te,
+                            validation_indices=va)
+    assert out is not None and out["val_size"] == 3
+    import pickle
+
+    with open(tmp_path / "g.ty", "rb") as f:
+        ty = pickle.load(f)
+    assert np.array_equal(ty, ally[te])
+    # node_mapping is a bijection over all nodes
+    nm = out["node_mapping"]
+    assert sorted(nm.values()) == list(range(9))

@@ -125,3 +125,98 @@ def test_run_sweep_forwards_epochs(pipeline_root, capsys):
                        epochs=7, dry_run=True)
     out = capsys.readouterr().out
     assert "--epochs 7" in out
+
+
+def test_clean_workspace_keeps_succeeded_tuning_runs(pipeline_root):
+    """Tuning run_ids end with "[tuning]" — the md5-staleness check must
+    strip that suffix, not treat every tuning run as stale."""
+    proj = get_project(str(pipeline_root / "proj"))
+    graph_job = next(iter(proj))
+    cfg = {"model_args": ["H2GCN --network_setup M16-MO"]}
+    runs = list(workflow.iter_runs(graph_job, cfg, tuning=True))
+    assert runs, "expected at least one tuning run candidate"
+    split_job, fg_name, files, args, run_id = runs[0]
+    assert run_id.endswith("[tuning]")
+    from pathlib import Path
+
+    ws = Path(split_job.workspace()) / workflow.WORKSPACE_ROOT
+    ws.mkdir(parents=True, exist_ok=True)
+    mp = get_project(str(ws))
+    job_i = mp.open_job({"run_id": run_id}).init()
+    job_i.doc["succeeded"] = True
+    removed = workflow.clean_workspace(graph_job, cfg)
+    assert run_id not in removed
+    assert any(
+        j.doc.get("succeeded") for j in mp.find_jobs({"run_id": run_id})
+    )
+
+
+def test_planetoid_reexport_preserves_canonical_split(tmp_path):
+    """Re-exporting a planetoid dataset copies the ORIGINAL 8 split files
+    verbatim (identity node mapping) instead of re-sampling a new split."""
+    import os
+    import pickle
+
+    src_path = "/root/reference/baselines/mixhop/data/planetoid/data"
+    if not os.path.isdir(src_path):
+        pytest.skip("planetoid data not available")
+    proj = get_project(str(tmp_path / "p"))
+    job = proj.open_job({
+        "method": "planetoid", "datasetName": "ind.citeseer",
+        "source_path": src_path, "graphName": "citeseer-export",
+        "numClass": 6,
+    }).init()
+    generation.generate_graph(job)
+    found = list(generation.feature_split_iter(job))
+    assert found, "planetoid export should seed a feature/split job"
+    _, split_job, fg_name, files = found[0]
+    assert split_job.doc.get("succeeded")
+    assert all(split_job.isfile(f) for f in files)
+    with open(split_job.fn(f"{fg_name}.y"), "rb") as f:
+        y_new = pickle.load(f)
+    with open(f"{src_path}/ind.citeseer.y", "rb") as f:
+        y_src = pickle.load(f, encoding="latin1")
+    assert np.array_equal(np.asarray(y_new), np.asarray(y_src))
+    json_map = json.load(open(split_job.fn("node_mapping.json")))
+    assert all(int(k) == v for k, v in json_map.items())
+
+
+def test_generate_split_stored_split_source(tmp_path):
+    """split_source statepoint (GeomGCN-style mask npz) drives the split."""
+    rng = np.random.RandomState(0)
+    n, c = 30, 3
+    colors = rng.randint(1, c + 1, size=n)
+    ally = np.eye(c)[colors - 1]
+    masks = np.zeros((3, n), dtype=bool)
+    for i in range(n):
+        masks[i % 3, i] = True
+    mask_file = tmp_path / "split0.npz"
+    np.savez(mask_file, train_mask=masks[0], val_mask=masks[1],
+             test_mask=masks[2])
+    proj = get_project(str(tmp_path / "p"))
+    job = proj.open_job({
+        "method": "mixhop", "numNode": n, "numClass": c,
+        "classRatio": [10, 10, 10], "m": 2, "m0": 6, "h": 0.5,
+        "graphName": "g30",
+    }).init()
+    generation.generate_graph(job)
+    from h2gcn_tpu.experiments import store_tools
+
+    fjob = store_tools.get_feature_project(job).open_job(
+        {"feature_type": "naive_npz", "var_factor": "all"}).init()
+    store_tools.get_split_project(fjob).open_job(
+        {"split_source": str(mask_file)}).init()
+    generation.generate_feature(job)
+    generation.generate_split(job)
+    _, split_job, fg_name, files = next(iter(
+        generation.feature_split_iter(job)))
+    assert split_job.doc.get("succeeded")
+    assert split_job.doc["val_size"] == int(masks[1].sum())
+    import pickle
+
+    _, _, ally_g = generation.load_graph_artifacts(job)
+    with open(split_job.fn(f"{fg_name}.ty"), "rb") as f:
+        ty = pickle.load(f)
+    # test rows come from exactly the stored test-mask nodes (order may
+    # differ only by the mask's own ordering, which generate_split keeps)
+    assert np.array_equal(ty, ally_g[np.nonzero(masks[2])[0]])
