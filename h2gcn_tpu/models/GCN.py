@@ -103,7 +103,8 @@ class BeliefPropagationNetwork:
 def add_subparser_args(parser):
     group = parser.add_argument_group("GCN Model Arguments (GCN.py)")
     group.add_argument("--variant",
-                       choices=["gcn", "cheby", "concat2", "mlp", "bp"],
+                       choices=["gcn", "cheby", "concat2", "cheby_concat2",
+                                "mlp", "bp"],
                        default="gcn")
     group.add_argument("--hidden1", type=int, default=16)
     group.add_argument("--dropout", type=float, default=0.5)
@@ -166,6 +167,20 @@ def build_layer_setups(variant, hidden, dropout, num_labels):
             (C, dict(tags=["1", "2", "3"], addInputs=False)),
             drop, dense(num_labels, out=True),
         ]
+    if variant == "cheby_concat2":
+        # GCN+JK over Chebyshev supports (reference train.py:91-97 dispatches
+        # gcn_cheby_concat_2 = GCNConcat2 fed chebyshev_polynomials). The
+        # spmm-first [stack hops → flatten → wide dense] identity realizes the
+        # per-support kernels of GraphConvolution, as in the cheby variant.
+        return [
+            drop, dense(hidden, l2=0.5), (R, dict(tag="1")),
+            drop, (G, dict(hops=None)), (V, {}), dense(hidden),
+            (R, dict(tag="2")),
+            drop, (G, dict(hops=None)), (V, {}), dense(hidden),
+            (R, dict(tag="3")),
+            (C, dict(tags=["1", "2", "3"], addInputs=False)),
+            drop, dense(num_labels, out=True),
+        ]
     if variant == "mlp":
         return [
             drop, dense(hidden, l2=0.5), (R, {}),
@@ -192,7 +207,7 @@ def argparse_callback(args):
         )
         return
     dataset.row_normalize_features()
-    if args.variant == "cheby":
+    if args.variant in ("cheby", "cheby_concat2"):
         supports = transforms.chebyshev_polynomials(
             dataset.sparse_adj, args.max_degree,
             eigenvalue=args.cheby_eigenvalue,

@@ -22,7 +22,8 @@ def _run(tmp_path, argv, epochs):
 
 @pytest.mark.slow
 @pytest.mark.parametrize("variant,threshold", [
-    ("gcn", 0.70), ("cheby", 0.60), ("concat2", 0.60), ("mlp", 0.35),
+    ("gcn", 0.70), ("cheby", 0.60), ("concat2", 0.60),
+    ("cheby_concat2", 0.60), ("mlp", 0.35),
 ])
 def test_gcn_family(planetoid_path, tmp_path, variant, threshold):
     args = _run(tmp_path, ["GCN", "planetoid", "--variant", variant,
