@@ -8,7 +8,14 @@ Workload (BASELINE.md): a 10K-node synthetic heterophily-scale graph with
 ~60K undirected edges, exact-hop split [Â₁, Â₂] (sym-normalized), hidden
 width 64 — the H2GCN-2 aggregation working set. The headline metric is
 aggregation edges/s/chip over both hop matrices (best available backend);
-``extra`` carries per-backend numbers and the full fused train-epoch time.
+``extra`` carries per-backend numbers, an HBM roofline statement per
+backend, and the full fused train-epoch time.
+
+Methodology: every backend is measured in R interleaved round-robin rounds
+and scored by its MINIMUM per-round time. A per-process drift of the
+tunneled-TPU readback path (which made late-measured backends read 20x
+slow in round 1) cannot bias ordering this way: each backend gets a shot
+in every round, and the min picks whichever round was unaffected.
 
 ``vs_baseline`` compares against a reference-equivalent host execution:
 scipy CSR SpMM on this machine's CPU (the reference framework runs eager
@@ -19,9 +26,25 @@ the reference repo, see BASELINE.md).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+# HBM bandwidth (bytes/s) per TPU generation — public spec sheets.
+# Used for the roofline statement: every backend of this workload sits far
+# left of the MXU ridge point, so speed-of-light == bytes_accessed / HBM_BW.
+HBM_BW = {
+    "v4": 1228e9,
+    "v5e": 819e9,
+    "v5p": 2765e9,
+    "v6e": 1638e9,
+}
+
+
+def tpu_hbm_bw():
+    gen = os.environ.get("PALLAS_AXON_TPU_GEN", "").lower()
+    return HBM_BW.get(gen, 819e9), (gen or "unknown(assumed v5e)")
 
 
 def build_graph(n=10_000, m_edges=60_000, seed=0):
@@ -44,23 +67,55 @@ def build_graph(n=10_000, m_edges=60_000, seed=0):
     return A
 
 
-def timeit(fn, warmup=3, iters=20):
-    for _ in range(warmup):
-        fn()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
-    _block(out)
-    return (time.perf_counter() - t0) / iters
-
-
 def _block(x):
     import jax
 
-    jax.tree_util.tree_map(
-        lambda a: a.block_until_ready() if hasattr(a, "block_until_ready") else a,
-        x,
-    )
+    jax.block_until_ready(x)
+
+
+def timeit(fn, warmup=3, iters=20):
+    """Single-fn timing (used by bench_scaling.py); min-of-rounds for
+    multi-config comparisons lives in :func:`interleaved_timeit`."""
+    return interleaved_timeit({"f": fn}, rounds=1, iters=iters,
+                              warmup=warmup)["f"][0]
+
+
+def interleaved_timeit(fns: dict, rounds=4, iters=10, warmup=2):
+    """Round-robin timing: every fn measured in every round; min wins.
+
+    Returns {name: (best_time_s, [per-round times])}.
+    """
+    for fn in fns.values():  # compile + warm each once before any timing
+        for _ in range(warmup):
+            _block(fn())
+    times = {name: [] for name in fns}
+    for _ in range(rounds):
+        for name, fn in fns.items():
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = fn()
+            _block(out)
+            times[name].append((time.perf_counter() - t0) / iters)
+    return {name: (min(ts), ts) for name, ts in times.items()}
+
+
+def spmm_bytes(backend, tag, a_sp, n, f, feature_tile=128):
+    """HBM bytes one ``spmm(a, x)`` must move, per backend (roofline model)."""
+    payload_item = 2 if tag == "bf16" else 4
+    x_item = payload_item if tag == "bf16" else 4
+    f_pad = max(feature_tile, -(-f // feature_tile) * feature_tile)
+    out_bytes = n * f * 4  # accumulate/write f32
+    if backend == "dense":
+        return a_sp.shape[0] * a_sp.shape[1] * payload_item + n * f * x_item + out_bytes
+    if backend == "bsr":
+        B = 128
+        coo = a_sp.tocoo()
+        ncb = -(-a_sp.shape[1] // B)
+        nb = np.unique((coo.row // B).astype(np.int64) * ncb
+                       + coo.col // B).size
+        return nb * B * B * payload_item + nb * B * feature_tile * x_item + out_bytes
+    # segment: edge vals + per-edge gather of an f-wide row + scatter-accum
+    return a_sp.nnz * (4 + f * 4 + f * 4) + out_bytes
 
 
 def main():
@@ -73,8 +128,7 @@ def main():
     platform = jax.devices()[0].platform
     # Warm up the device→host transfer path once: on some tunneled TPU
     # runtimes the FIRST readback of a process stalls for minutes while
-    # subsequent ones are instant. Timing loops below only use
-    # block_until_ready, but eat the stall up front to be safe.
+    # subsequent ones are instant.
     float(jnp.zeros(()))
     n, f, c = 10_000, 64, 8
     A = build_graph(n)
@@ -91,18 +145,17 @@ def main():
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
 
+    bw, gen = tpu_hbm_bw()
     extra = {"platform": platform, "n_nodes": n, "nnz_hop1": int(a1.nnz),
              "nnz_hop2": int(a2.nnz),
              "hop_precompute_s": t_precompute,
-             "hop_precompute_scipy_s": t_precompute_scipy}
+             "hop_precompute_scipy_s": t_precompute_scipy,
+             "methodology": "interleaved round-robin, min of 4 rounds x 10 iters",
+             "tpu_generation": gen}
 
     # --- aggregation edges/s per backend -----------------------------------
-    results = {}
-    # NOTE: measured first-to-last; on tunneled TPU runtimes, later rows can
-    # read slow due to relay drift within a process — the headline "value"
-    # therefore uses the earliest (freshest) rows first: auto, then dense.
-    backends = (["auto", "dense", "bsr", "segment"] if platform == "tpu"
-                else ["auto", "segment", "dense"])
+    backends = (["dense", "bsr", "segment"] if platform == "tpu"
+                else ["segment", "dense"])
     # matrices are jit ARGUMENTS (not closure constants) so the compiled
     # program stays small — closure capture bakes the payload into the HLO,
     # which breaks remote-compile setups and bloats the executable
@@ -110,6 +163,7 @@ def main():
     # f32/highest = activation-parity mode; bf16/default = throughput mode
     configs = [("f32", dict(precision="highest", payload_dtype="float32")),
                ("bf16", dict(precision="default", payload_dtype="bfloat16"))]
+    fns, sol = {}, {}
     for backend in backends:
         for tag, kw in configs:
             if backend == "segment" and tag == "bf16":
@@ -117,13 +171,39 @@ def main():
             try:
                 m1 = SparseMatrix.from_scipy(a1, backend=backend, **kw)
                 m2 = SparseMatrix.from_scipy(a2, backend=backend, **kw)
-                t = timeit(lambda: agg(m1, m2, x))
-                results[f"{backend}/{tag}"] = nnz_total / t
             except Exception as e:  # noqa: BLE001 — record and continue
                 extra[f"error_{backend}_{tag}"] = f"{type(e).__name__}: {e}"
+                continue
+            name = f"{backend}/{tag}"
+            fns[name] = (lambda m1=m1, m2=m2: agg(m1, m2, x))
+            sol[name] = (spmm_bytes(backend, tag, a1, n, f)
+                         + spmm_bytes(backend, tag, a2, n, f)) / bw
+
+    # Fixed per-call dispatch cost of this runtime (tunneled dispatch +
+    # scheduling), measured on a trivially small jitted program. Reported so
+    # the roofline fraction can be read net of constant overhead.
+    tiny = jnp.zeros((8, 8))
+    tiny_fn = jax.jit(lambda t: t + 1.0)
+    dispatch_s = interleaved_timeit({"d": lambda: tiny_fn(tiny)})["d"][0]
+    extra["dispatch_overhead_ms"] = round(dispatch_s * 1e3, 3)
+
+    timed = interleaved_timeit(fns)
+    results = {name: nnz_total / t for name, (t, _) in timed.items()}
     best_backend = max(results, key=results.get)
     edges_per_s = results[best_backend]
     extra["edges_per_s_by_backend"] = {k: float(v) for k, v in results.items()}
+    extra["round_times_ms"] = {
+        name: [round(t * 1e3, 3) for t in ts] for name, (_, ts) in timed.items()
+    }
+    # HBM roofline: fraction of memory-bound speed-of-light each backend hit
+    extra["roofline"] = {
+        name: {"sol_ms": round(sol[name] * 1e3, 3),
+               "achieved_ms": round(timed[name][0] * 1e3, 3),
+               "frac_of_sol": round(sol[name] / timed[name][0], 3),
+               "frac_of_sol_net_dispatch": round(
+                   sol[name] / max(timed[name][0] - dispatch_s, 1e-9), 3)}
+        for name in timed
+    }
     extra["best_backend"] = best_backend
     best_backend = best_backend.split("/")[0]
 
@@ -157,10 +237,9 @@ def main():
         return optax.apply_updates(p, updates), o2, loss
 
     key = jax.random.PRNGKey(1)
-    t_epoch = timeit(
-        lambda: train_step(params, opt_state, key, ah, x, y, mask),
-        warmup=2, iters=10,
-    )
+    epoch_fn = lambda: train_step(params, opt_state, key, ah, x, y, mask)
+    t_epoch = interleaved_timeit({"epoch": epoch_fn}, rounds=3, iters=5)[
+        "epoch"][0]
     extra["train_epoch_s"] = t_epoch
     extra["train_epochs_per_s"] = 1.0 / t_epoch
 

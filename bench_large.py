@@ -1,0 +1,183 @@
+"""Large-graph benchmark: the regime where the dense backend is impossible.
+
+VERDICT #3: a ~250K-node power-law graph whose Â₁+Â₂ working set
+(~25M nnz) rules out the dense-MXU payload entirely (250K² f32 = 250GB).
+Measures, and writes to ``docs/bench_large.json``:
+
+* exact-hop precompute: scipy vs native OpenMP vs the distributed
+  row-sharded spgemm (h2gcn_tpu/parallel/spgemm.py) at 1/2/4 workers,
+  with measured halo-exchange volume;
+* single-chip aggregation edges/s for every backend that fits: segment
+  (gather + sorted segment-sum) always, BSR only if its block payload fits
+  device memory — block counts are reported for the natural and RCM-reordered
+  orderings either way, so the block-occupancy economics at this scale are
+  recorded numbers, not assumptions;
+* an HBM roofline figure for the segment path.
+
+Usage: python bench_large.py [--n 250000] [--edges 1250000] [--skip_tpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+import scipy.sparse as sp
+
+from bench import build_graph, interleaved_timeit, spmm_bytes, tpu_hbm_bw
+
+# BSR payload budget: beyond this the backend is recorded as infeasible
+_BSR_PAYLOAD_BUDGET_GB = 6.0
+
+
+def count_bsr_blocks(a: sp.csr_matrix, block=128) -> int:
+    coo = a.tocoo()
+    ncb = -(-a.shape[1] // block)
+    return int(np.unique((coo.row // block).astype(np.int64) * ncb
+                         + coo.col // block).size)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=250_000)
+    ap.add_argument("--edges", type=int, default=1_250_000)
+    ap.add_argument("--features", type=int, default=64)
+    ap.add_argument("--skip_tpu", action="store_true",
+                    help="host-side (precompute) benchmark only")
+    ap.add_argument("--out", default="docs/bench_large.json")
+    args = ap.parse_args()
+
+    report = {"n": args.n, "m_requested": args.edges, "features": args.features}
+    A = build_graph(args.n, args.edges, seed=0)
+    report["nnz_adj"] = int(A.nnz)
+
+    from h2gcn_tpu.parallel.spgemm import dist_nhood_split
+    from h2gcn_tpu.sparse import transforms
+
+    # --- precompute: scipy vs native OpenMP vs distributed ------------------
+    t0 = time.perf_counter()
+    hops_ref = transforms.nhood_split(A, 2, use_native=False)
+    report["precompute_scipy_s"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    hops = transforms.nhood_split(A, 2)
+    report["precompute_native_omp_s"] = time.perf_counter() - t0
+    assert all((h1 != h2).nnz == 0 for h1, h2 in zip(hops, hops_ref))
+
+    report["precompute_dist"] = {}
+    import multiprocessing as mp
+    from concurrent.futures import ProcessPoolExecutor
+
+    from h2gcn_tpu.parallel.spgemm import _init_worker
+
+    for workers in (1, 2, 4):
+        pool = None
+        if workers > 1:
+            # pool startup (spawn + interpreter boot) is excluded: a real
+            # deployment holds its workers for the whole preprocessing job
+            pool = ProcessPoolExecutor(
+                max_workers=workers, initializer=_init_worker,
+                mp_context=mp.get_context("spawn"))
+            # force every worker to boot now (concurrent sleeps pin them all)
+            for fut in [pool.submit(time.sleep, 1.0) for _ in range(workers)]:
+                fut.result()
+        t0 = time.perf_counter()
+        hd, stats = dist_nhood_split(A, 2, n_workers=workers,
+                                     return_stats=True, pool=pool)
+        dt = time.perf_counter() - t0
+        if pool is not None:
+            pool.shutdown()
+        assert all((h1 != h2).nnz == 0 for h1, h2 in zip(hd, hops_ref))
+        report["precompute_dist"][workers] = {
+            "time_s": dt,
+            "halo_rows": stats.halo_rows,
+            "halo_mbytes": round(stats.total_halo_bytes / 1e6, 2),
+        }
+
+    a1 = transforms.normalize(hops[1])
+    a2 = transforms.normalize(hops[2])
+    nnz_total = a1.nnz + a2.nnz
+    report["nnz_hop1"], report["nnz_hop2"] = int(a1.nnz), int(a2.nnz)
+
+    # --- BSR feasibility at this scale (natural vs RCM ordering) ------------
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    perm = np.asarray(reverse_cuthill_mckee(A, symmetric_mode=True))
+    bsr_stats = {}
+    for name, (m1, m2) in {
+        "natural": (a1, a2),
+        "rcm": (a1[perm][:, perm].tocsr(), a2[perm][:, perm].tocsr()),
+    }.items():
+        nb = count_bsr_blocks(m1) + count_bsr_blocks(m2)
+        payload_gb = nb * 128 * 128 * 2 / 1e9  # bf16
+        bsr_stats[name] = {
+            "blocks": nb,
+            "payload_gb_bf16": round(payload_gb, 2),
+            "occupancy_nnz_per_block": round(nnz_total / nb, 2),
+            "feasible": payload_gb <= _BSR_PAYLOAD_BUDGET_GB,
+        }
+    report["bsr"] = bsr_stats
+    use_rcm = (bsr_stats["rcm"]["feasible"]
+               and not bsr_stats["natural"]["feasible"])
+    bsr_feasible = bsr_stats["rcm"]["feasible"] or bsr_stats["natural"]["feasible"]
+    if use_rcm:
+        a1b, a2b = a1[perm][:, perm].tocsr(), a2[perm][:, perm].tocsr()
+    else:
+        a1b, a2b = a1, a2
+
+    # --- single-chip aggregation --------------------------------------------
+    if not args.skip_tpu:
+        import jax
+        import jax.numpy as jnp
+
+        from h2gcn_tpu.sparse import SparseMatrix, spmm
+
+        float(jnp.zeros(()))  # eat the first-readback stall
+        report["platform"] = jax.devices()[0].platform
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(
+            rng.standard_normal((args.n, args.features)).astype(np.float32))
+        agg = jax.jit(lambda s1, s2, xx: (spmm(s1, xx), spmm(s2, xx)))
+
+        fns, sol = {}, {}
+        bw, gen = tpu_hbm_bw()
+        report["tpu_generation"] = gen
+        m1 = SparseMatrix.from_scipy(a1, backend="segment")
+        m2 = SparseMatrix.from_scipy(a2, backend="segment")
+        fns["segment/f32"] = lambda m1=m1, m2=m2: agg(m1, m2, x)
+        sol["segment/f32"] = sum(
+            spmm_bytes("segment", "f32", m, args.n, args.features)
+            for m in (a1, a2)) / bw
+        if bsr_feasible:
+            for tag, kw in (("f32", {}), ("bf16",
+                                          dict(payload_dtype="bfloat16",
+                                               precision="default"))):
+                b1 = SparseMatrix.from_scipy(a1b, backend="bsr", **kw)
+                b2 = SparseMatrix.from_scipy(a2b, backend="bsr", **kw)
+                fns[f"bsr/{tag}"] = lambda b1=b1, b2=b2: agg(b1, b2, x)
+                sol[f"bsr/{tag}"] = sum(
+                    spmm_bytes("bsr", tag, m, args.n, args.features)
+                    for m in (a1b, a2b)) / bw
+
+        timed = interleaved_timeit(fns, rounds=3, iters=3, warmup=1)
+        report["agg_edges_per_s"] = {
+            name: nnz_total / t for name, (t, _) in timed.items()
+        }
+        report["roofline"] = {
+            name: {"sol_ms": round(sol[name] * 1e3, 2),
+                   "achieved_ms": round(timed[name][0] * 1e3, 2),
+                   "frac_of_sol": round(sol[name] / timed[name][0], 3)}
+            for name in timed
+        }
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1, default=float)
+    print(json.dumps(report, default=float))
+
+
+if __name__ == "__main__":
+    main()

@@ -22,4 +22,13 @@ Design principles (TPU-first, not a port):
 
 __version__ = "0.1.0"
 
-from . import sparse  # noqa: F401
+
+def __getattr__(name):  # PEP 562 — lazy submodule access
+    # Keeps `import h2gcn_tpu` free of jax so host-only users (the spawned
+    # spgemm workers, dataset tooling) never pay accelerator-client startup.
+    import importlib
+
+    if name in ("sparse", "datasets", "models", "modules", "nn", "parallel",
+                "experiments", "native"):
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(name)

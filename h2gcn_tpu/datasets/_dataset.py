@@ -302,6 +302,10 @@ class PlanetoidData:
         self._preprocessed_feature = "GCN"
 
     # --------------------------------------------------------- device export
+    # densifying features beyond this element count is refused — an n×n
+    # identity-feature matrix at 100K nodes would silently materialize 40GB
+    _DENSE_FEATURE_GUARD = 250_000_000
+
     def get_tensors(
         self,
         get_adj_hops=None,
@@ -310,6 +314,8 @@ class PlanetoidData:
         norm_type: NType = NType.SYM_NORMALIZED,
         dtype=np.float32,
         backend: str = "auto",
+        sparse_features: bool = False,
+        precompute_workers: int = 1,
     ) -> Namespace:
         """Export device tensors — the JAX analogue of reference ``getTensors``
         (_dataset.py:537-584).
@@ -321,6 +327,11 @@ class PlanetoidData:
         ``supports``: an explicit list of scipy support matrices exported
         directly as ``adj_hops`` (GCN ``Â = sym_norm(A+I)``, Chebyshev
         polynomials, ...).
+        ``sparse_features`` keeps X as a segment-backed SparseMatrix (the
+        reference's SparseDense input path, h2gcn/models/_layers.py:22-52) —
+        required for identity-scale features on large graphs.
+        ``precompute_workers > 1`` routes the exact-hop split through the
+        distributed row-sharded spgemm (parallel/spgemm.py).
         """
         import jax.numpy as jnp
 
@@ -328,9 +339,21 @@ class PlanetoidData:
         t.adj = SparseMatrix.from_scipy(
             self.sparse_adj.astype(dtype), backend=backend
         )
-        t.features = jnp.asarray(
-            np.asarray(self.features.todense(), dtype=dtype)
-        )
+        if sparse_features:
+            t.features = SparseMatrix.from_scipy(
+                sp.csr_matrix(self.features).astype(dtype), backend="segment"
+            )
+        else:
+            n_elems = int(self.features.shape[0]) * int(self.features.shape[1])
+            if n_elems > self._DENSE_FEATURE_GUARD:
+                raise ValueError(
+                    f"densifying a {self.features.shape} feature matrix "
+                    f"({n_elems:,} elements) would exhaust device memory — "
+                    "pass sparse_features=True (CLI: --sparse_features) to "
+                    "keep X on the sparse SpMM path")
+            t.features = jnp.asarray(
+                np.asarray(self.features.todense(), dtype=dtype)
+            )
 
         def _hop_groups(spec):
             return [[int(x) for x in elem.split(",")] for elem in spec]
@@ -355,7 +378,8 @@ class PlanetoidData:
             groups = _hop_groups(get_adj_hops)
             kmax = max(chain(*groups))
             splits = _pad_splits(
-                transforms.nhood_split(self.sparse_adj, kmax), kmax
+                transforms.nhood_split(self.sparse_adj, kmax,
+                                       n_workers=precompute_workers), kmax
             )
             merged = np.stack(
                 [np.asarray(sum(splits[i] for i in g).todense()) for g in groups],
@@ -372,8 +396,10 @@ class PlanetoidData:
                 normed = [sum(splits[i] for i in g) for g in groups]
             else:
                 splits = _pad_splits(
-                transforms.nhood_split(self.sparse_adj, kmax), kmax
-            )
+                    transforms.nhood_split(self.sparse_adj, kmax,
+                                           n_workers=precompute_workers),
+                    kmax,
+                )
                 summed = [sum(splits[i] for i in g) for g in groups]
                 normed = [transforms.normalize(m, norm_type) for m in summed]
             t.adj_hops = [

@@ -368,7 +368,7 @@ def _patch_planetoid_api():
                  "num_labels", "num_samples", "feature_dim", "label_count",
                  "adj_add_eye", "adj_remove_eye", "row_normalize_features",
                  "set_identity_features", "set_label_one_hot_features",
-                 "preprocess_gcn", "get_tensors"):
+                 "preprocess_gcn", "get_tensors", "_DENSE_FEATURE_GUARD"):
         setattr(SparseGraphData, name, getattr(PlanetoidData, name))
 
 

@@ -49,6 +49,12 @@ def add_subparser_args(parser):
                        choices=["auto", "dense", "bsr", "segment"],
                        default="auto",
                        help="SpMM execution backend for the hop matrices")
+    group.add_argument("--sparse_features", action="store_true",
+                       help="Keep X sparse on device (SparseDense path) — "
+                            "required for identity features at scale")
+    group.add_argument("--precompute_workers", type=int, default=1,
+                       help="Row-shard the exact-hop spgemm precompute over "
+                            "N worker processes (>1 = distributed path)")
     parser.function_hooks["argparse"].append(argparse_callback)
 
 
@@ -77,7 +83,9 @@ def preprocessing_data(args, normalized_hops=True):
         dataset.row_normalize_features()
     dataset.adj_remove_eye()
     kwargs = dict(
-        norm_type=NType[args.adj_norm_type], backend=args.sparse_backend
+        norm_type=NType[args.adj_norm_type], backend=args.sparse_backend,
+        sparse_features=getattr(args, "sparse_features", False),
+        precompute_workers=getattr(args, "precompute_workers", 1),
     )
     if normalized_hops:
         tensors = dataset.get_tensors(get_adj_norm_hops=args.adj_nhood, **kwargs)

@@ -32,7 +32,13 @@ _MATMUL_PRECISION = jax.lax.Precision.HIGHEST
 
 
 def _dense_apply(p, x):
-    y = jnp.matmul(x, p["kernel"], precision=_MATMUL_PRECISION)
+    if isinstance(x, SparseMatrix):
+        # sparse input features: X·W through the SpMM core — the reference's
+        # SparseDense (h2gcn/models/_layers.py:22-52). Keeps n×n identity /
+        # CSR bag-of-words features off the dense path entirely.
+        y = spmm(x, p["kernel"])
+    else:
+        y = jnp.matmul(x, p["kernel"], precision=_MATMUL_PRECISION)
     if "bias" in p:
         y = y + p["bias"]
     return y
@@ -239,7 +245,10 @@ class NetworkModel:
             elif kind == Layer.VECTORIZE:
                 x = x.reshape(x.shape[0], -1)
             elif kind == Layer.IDENTITY:
-                pass  # features are dense on TPU; sparse→dense is a no-op
+                # sparse→dense boundary (reference DSL token "I"); a no-op
+                # for already-dense activations
+                if isinstance(x, SparseMatrix):
+                    x = x.todense()
             elif kind == Layer.CONCAT:
                 # Tag order follows tag creation order, matching the
                 # reference's kwargs-iteration (h2gcn/models/_layers.py:90-96).

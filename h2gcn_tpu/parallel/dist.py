@@ -250,16 +250,25 @@ class HaloShardedMatrix:
     The true scalable design: instead of gathering ALL node features
     (all_gather) or rotating full chunks (ring), every device exchanges only
     the boundary rows its neighbors actually reference — one ``all_to_all``
-    of ``[D, H, F]`` where ``H`` is the max per-pair halo size. Edge columns
-    are pre-remapped into the receive buffer, so aggregation after the
-    exchange is a plain local segment reduce.
+    of ``[D, H, F]`` where ``H`` is the max per-pair halo size.
+
+    Edges are pre-split into INTERIOR (source column owned by this shard —
+    reduced straight from ``x_local``, no dependence on the exchange) and
+    HALO edges (columns pre-remapped into the receive buffer). The interior
+    reduce is data-independent of the all_to_all, so XLA's latency-hiding
+    scheduler hides the exchange under it (SURVEY §7 "boundary-exchange
+    overlap"; independence is asserted by tests/test_parallel.py's
+    jaxpr-dependency test).
 
     Leading axis = device (consumed by shard_map).
     """
 
-    rows: jax.Array       # [D, E_pad] int32 local dest rows, sorted
-    cols_halo: jax.Array  # [D, E_pad] int32 indices into the recv buffer
-    vals: jax.Array       # [D, E_pad] float32
+    rows_int: jax.Array   # [D, Ei_pad] int32 local dest rows, sorted
+    cols_int: jax.Array   # [D, Ei_pad] int32 LOCAL source cols
+    vals_int: jax.Array   # [D, Ei_pad] float32
+    rows_halo: jax.Array  # [D, Eh_pad] int32 local dest rows, sorted
+    cols_halo: jax.Array  # [D, Eh_pad] int32 indices into the recv buffer
+    vals_halo: jax.Array  # [D, Eh_pad] float32
     send_idx: jax.Array   # [D(owner), D(dest), H] int32 local rows to send
     n_local: int = struct.field(pytree_node=False)
     n_global: int = struct.field(pytree_node=False)
@@ -268,8 +277,10 @@ class HaloShardedMatrix:
 
     def local(self) -> "HaloShardedMatrix":
         return HaloShardedMatrix(
-            rows=self.rows[0], cols_halo=self.cols_halo[0],
-            vals=self.vals[0], send_idx=self.send_idx[0],
+            rows_int=self.rows_int[0], cols_int=self.cols_int[0],
+            vals_int=self.vals_int[0], rows_halo=self.rows_halo[0],
+            cols_halo=self.cols_halo[0], vals_halo=self.vals_halo[0],
+            send_idx=self.send_idx[0],
             n_local=self.n_local, n_global=self.n_global, halo=self.halo,
             axis=self.axis,
         )
@@ -289,43 +300,61 @@ def shard_matrix_halo(
 
     blocks = []
     needed = [[None] * D for _ in range(D)]  # needed[d][s] = global cols
-    max_e, max_h = 1, 1
+    max_ei, max_eh, max_h = 1, 1, 1
     for d in range(D):
         lo, hi = d * n_local, min((d + 1) * n_local, n)
         block = csr[lo:hi].tocoo() if lo < n else sp.coo_matrix((0, n))
         blocks.append(block)
-        max_e = max(max_e, block.nnz)
         src_shard = block.col // n_local
+        max_ei = max(max_ei, int((src_shard == d).sum()))
+        max_eh = max(max_eh, int((src_shard != d).sum()))
         for s in range(D):
+            if s == d:
+                needed[d][s] = np.empty(0, dtype=block.col.dtype)
+                continue  # interior columns never travel
             u = np.unique(block.col[src_shard == s])
             needed[d][s] = u
             max_h = max(max_h, len(u))
-    e_pad = int(math.ceil(max_e / _EDGE_BUCKET)) * _EDGE_BUCKET
+    ei_pad = int(math.ceil(max_ei / _EDGE_BUCKET)) * _EDGE_BUCKET
+    eh_pad = int(math.ceil(max_eh / _EDGE_BUCKET)) * _EDGE_BUCKET
     h_pad = int(math.ceil(max_h / 8)) * 8
 
-    rows = np.full((D, e_pad), n_local - 1, np.int32)
-    cols_halo = np.zeros((D, e_pad), np.int32)
-    vals = np.zeros((D, e_pad), np.float32)
+    rows_int = np.full((D, ei_pad), n_local - 1, np.int32)
+    cols_int = np.zeros((D, ei_pad), np.int32)
+    vals_int = np.zeros((D, ei_pad), np.float32)
+    rows_halo = np.full((D, eh_pad), n_local - 1, np.int32)
+    cols_halo = np.zeros((D, eh_pad), np.int32)
+    vals_halo = np.zeros((D, eh_pad), np.float32)
     send_idx = np.zeros((D, D, h_pad), np.int32)
 
     for d in range(D):
         block = blocks[d]
         order = np.lexsort((block.col, block.row))
         r, c, v = block.row[order], block.col[order], block.data[order]
-        # remap each edge's global col into the recv-buffer layout
-        # [src_shard * h_pad + position within needed[d][src_shard]]
-        remapped = np.zeros(len(c), np.int64)
         src_shard = c // n_local
+
+        interior = src_shard == d
+        ei = int(interior.sum())
+        rows_int[d, :ei] = r[interior]
+        cols_int[d, :ei] = c[interior] - d * n_local
+        vals_int[d, :ei] = v[interior]
+
+        # remap each halo edge's global col into the recv-buffer layout
+        # [src_shard * h_pad + position within needed[d][src_shard]]
+        hsel = ~interior
+        ch = c[hsel]
+        remapped = np.zeros(len(ch), np.int64)
+        sh = src_shard[hsel]
         for s in range(D):
-            sel = src_shard == s
+            sel = sh == s
             if not sel.any():
                 continue
-            pos = np.searchsorted(needed[d][s], c[sel])
+            pos = np.searchsorted(needed[d][s], ch[sel])
             remapped[sel] = s * h_pad + pos
-        e = block.nnz
-        rows[d, :e] = r
-        cols_halo[d, :e] = remapped
-        vals[d, :e] = v
+        eh = int(hsel.sum())
+        rows_halo[d, :eh] = r[hsel]
+        cols_halo[d, :eh] = remapped
+        vals_halo[d, :eh] = v[hsel]
         # what THIS shard must send to each destination: dest's needed rows
         for dest in range(D):
             u = needed[dest][d]
@@ -333,8 +362,12 @@ def shard_matrix_halo(
 
     return (
         HaloShardedMatrix(
-            rows=jnp.asarray(rows), cols_halo=jnp.asarray(cols_halo),
-            vals=jnp.asarray(vals), send_idx=jnp.asarray(send_idx),
+            rows_int=jnp.asarray(rows_int), cols_int=jnp.asarray(cols_int),
+            vals_int=jnp.asarray(vals_int),
+            rows_halo=jnp.asarray(rows_halo),
+            cols_halo=jnp.asarray(cols_halo),
+            vals_halo=jnp.asarray(vals_halo),
+            send_idx=jnp.asarray(send_idx),
             n_local=n_local, n_global=n_pad, halo=h_pad, axis=axis,
         ),
         n_pad,
@@ -342,16 +375,26 @@ def shard_matrix_halo(
 
 
 def dist_spmm_halo(hsm: HaloShardedMatrix, x_local: jax.Array) -> jax.Array:
-    """``A @ x`` with boundary-only exchange: gather the rows each neighbor
-    needs, one all_to_all of [D, H, F], then a local segment reduce over
-    pre-remapped columns. Comm volume is O(D·H·F) per device — the halo
-    size, not the graph size."""
+    """``A @ x`` with boundary-only exchange and comm/compute overlap.
+
+    Schedule: (1) launch the all_to_all of the send rows; (2) reduce the
+    interior edges from ``x_local`` — this consumes no exchanged data, so the
+    collective's latency hides under it; (3) reduce the halo edges from the
+    receive buffer and add. Comm volume is O(D·H·F) per device — the halo
+    size, not the graph size — and self-rows never travel."""
     send = x_local[hsm.send_idx]  # [D, H, F]
     recv = jax.lax.all_to_all(send, hsm.axis, split_axis=0, concat_axis=0)
+
+    g_int = x_local[hsm.cols_int] * hsm.vals_int[:, None].astype(x_local.dtype)
+    out = jax.ops.segment_sum(
+        g_int, hsm.rows_int, num_segments=hsm.n_local, indices_are_sorted=True
+    )
+
     flat = recv.reshape(-1, x_local.shape[-1])  # [D*H, F]
-    gathered = flat[hsm.cols_halo] * hsm.vals[:, None].astype(x_local.dtype)
-    return jax.ops.segment_sum(
-        gathered, hsm.rows, num_segments=hsm.n_local, indices_are_sorted=True
+    g_halo = flat[hsm.cols_halo] * hsm.vals_halo[:, None].astype(x_local.dtype)
+    return out + jax.ops.segment_sum(
+        g_halo, hsm.rows_halo, num_segments=hsm.n_local,
+        indices_are_sorted=True
     )
 
 

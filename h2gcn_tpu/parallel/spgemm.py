@@ -1,0 +1,181 @@
+"""Distributed exact-hop neighborhood precompute (row-sharded boolean spgemm).
+
+The reference computes Â₂ with a full-matrix scipy spgemm on one host
+(reference h2gcn/datasets/_dataset.py:139-158 — its flagged bottleneck,
+"TODO: increase performance" at experiments/h2gcn/utils/dataset.py:70).
+At syn-products scale and beyond, that precompute is the north star's
+"distributed sparse-sparse matmul": this module row-shards the reachability
+relation across P workers and expands each shard's frontier independently.
+
+Design (matches a multi-host TPU pod layout, DCN between hosts):
+
+* The base relation ``R₁ = A + I`` is row-partitioned into P contiguous
+  shards; worker ``p`` owns rows ``[lo_p, hi_p)`` for the whole run.
+* One expansion round computes ``R_{t+1}[lo:hi] = R_t[lo:hi] ⊙ R₁``
+  (boolean product). Worker ``p`` only needs the R₁ rows named by the
+  columns of its current shard — its **frontier halo**. The coordinator
+  gathers exactly those rows (``R₁[needed]``) and ships them with the
+  task: worker memory is shard + halo, never the full matrix. In a
+  multi-host deployment this shipment is the all-to-all over DCN; here the
+  transport is process pickling, and the per-shard halo row/byte volume is
+  measured and returned so the communication cost is a number, not a claim.
+* Inside a worker the shard's column ids are compacted onto the halo
+  (searchsorted) and the product runs through the native Gustavson kernel
+  (csrc/graphops.cpp) — or scipy when the native lib is unavailable.
+* Exact-hop extraction ``hop_{t+1} = R_{t+1} ∖ R_t`` happens on the still
+  row-sharded results; only the final hop matrices are concatenated.
+
+Output contract is identical to :func:`h2gcn_tpu.sparse.transforms.nhood_split`
+(``[I, A₁ᵉˣ, A₂ᵉˣ, ...]`` with early termination when reachability stops
+growing), and ``tests/test_dist_spgemm.py`` asserts equality.
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ProcessPoolExecutor
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+import scipy.sparse as sp
+
+_EXECUTOR_THREADS = "1"  # one OpenMP lane per worker → clean scaling numbers
+
+
+@dataclass
+class SpgemmStats:
+    """Measured communication/compute volumes of one distributed run."""
+
+    n_workers: int
+    rounds: int = 0
+    halo_rows: List[List[int]] = field(default_factory=list)   # per round, per shard
+    halo_bytes: List[List[int]] = field(default_factory=list)
+    shard_nnz: List[List[int]] = field(default_factory=list)
+
+    @property
+    def total_halo_bytes(self) -> int:
+        return int(sum(sum(r) for r in self.halo_bytes))
+
+
+def _init_worker():
+    os.environ["OMP_NUM_THREADS"] = _EXECUTOR_THREADS
+
+
+def _expand_shard(r_indptr, r_indices, n_cols, needed, b_indptr, b_indices):
+    """One worker task: compacted-halo boolean product for one row shard.
+
+    ``needed`` are the global ids of the halo rows, ``b_*`` the CSR arrays of
+    ``R₁[needed]``. Returns the expanded shard's CSR arrays (global columns).
+    """
+    from ..native import bool_spgemm
+
+    rows = len(r_indptr) - 1
+    local_cols = np.searchsorted(needed, r_indices).astype(np.int32)
+    a_local = sp.csr_matrix(
+        (np.ones(len(r_indices), np.float32), local_cols, r_indptr),
+        shape=(rows, max(len(needed), 1)),
+    )
+    b_local = sp.csr_matrix(
+        (np.ones(len(b_indices), np.float32), b_indices, b_indptr),
+        shape=(max(len(needed), 1), n_cols),
+    )
+    c = bool_spgemm(a_local, b_local)
+    return c.indptr, c.indices
+
+
+def dist_nhood_split(
+    adj: sp.spmatrix,
+    nhood: int,
+    n_workers: int = 1,
+    return_stats: bool = False,
+    pool: Optional[ProcessPoolExecutor] = None,
+):
+    """Row-sharded exact-hop split ``[I, A₁ᵉˣ, ..., A_kᵉˣ]`` over P workers.
+
+    ``n_workers=1`` runs the same sharded algorithm in-process (useful for
+    validation); ``pool`` lets a caller amortize executor startup over
+    multiple graphs.
+    """
+    assert adj.ndim == 2 and adj.shape[0] == adj.shape[1]
+    n = adj.shape[0]
+    base = (sp.csr_matrix(adj) + sp.eye(n, format="csr", dtype=adj.dtype)).tocsr()
+    base.sort_indices()
+
+    bounds = np.linspace(0, n, n_workers + 1).astype(np.int64)
+    shards = [base[bounds[p]:bounds[p + 1]] for p in range(n_workers)]
+
+    stats = SpgemmStats(n_workers=n_workers)
+    out = [sp.eye(n, format="csr", dtype=np.float32)]
+    own_pool = None
+    if n_workers > 1 and pool is None:
+        # spawn (not fork): the parent may hold a live TPU client and warm
+        # OpenMP pools, neither of which survives fork safely. Workers stay
+        # off the accelerator entirely (host spgemm only).
+        import multiprocessing as mp
+
+        own_pool = ProcessPoolExecutor(
+            max_workers=n_workers, initializer=_init_worker,
+            mp_context=mp.get_context("spawn"),
+        )
+        pool = own_pool
+
+    try:
+        from ..native import bool_subtract
+
+        # R_t = (A+I)^t is CUMULATIVE reachability (self loops), so the
+        # exact hop-t set is simply R_t ∖ R_{t-1} — same recurrence as
+        # transforms.nhood_split (reference _dataset.py:139-158).
+        prev_shards = [
+            sp.eye(n, format="csr",
+                   dtype=np.float32)[bounds[p]:bounds[p + 1]].tocsr()
+            for p in range(n_workers)
+        ]
+        edge_sum = float(n)
+        for hop in range(1, nhood + 1):
+            if hop == 1:
+                cur_shards = shards  # I ⊙ R₁ = R₁ — no expansion round
+            else:
+                tasks, halo_rows, halo_bytes = [], [], []
+                for r_shard in cur_shards:
+                    needed = np.unique(r_shard.indices)
+                    b_halo = base[needed]
+                    halo_rows.append(int(needed.size))
+                    halo_bytes.append(
+                        int(needed.size * 8 + b_halo.indices.nbytes
+                            + b_halo.indptr.nbytes)
+                    )
+                    tasks.append((r_shard.indptr, r_shard.indices, n, needed,
+                                  b_halo.indptr, b_halo.indices))
+                stats.halo_rows.append(halo_rows)
+                stats.halo_bytes.append(halo_bytes)
+                stats.rounds += 1
+                if pool is not None:
+                    results = list(pool.map(_expand_shard, *zip(*tasks)))
+                else:
+                    results = [_expand_shard(*t) for t in tasks]
+                prev_shards = cur_shards
+                cur_shards = [
+                    sp.csr_matrix(
+                        (np.ones(len(ix), np.float32), ix, ip),
+                        shape=(len(ip) - 1, n),
+                    )
+                    for ip, ix in results
+                ]
+            new_edge_sum = float(sum(c.nnz for c in cur_shards))
+            if new_edge_sum == edge_sum:
+                break  # reachability saturated — same contract as nhood_split
+            edge_sum = new_edge_sum
+
+            diff_parts = [
+                bool_subtract(cur, prv)
+                for cur, prv in zip(cur_shards, prev_shards)
+            ]
+            stats.shard_nnz.append([int(d.nnz) for d in diff_parts])
+            out.append(sp.vstack(diff_parts).tocsr())
+            prev_shards = cur_shards
+    finally:
+        if own_pool is not None:
+            own_pool.shutdown()
+
+    return (out, stats) if return_stats else out

@@ -67,7 +67,8 @@ def remove_eye(adj: sp.spmatrix) -> sp.csr_matrix:
 
 
 def nhood_split(adj: sp.spmatrix, nhood: int,
-                use_native: bool = True) -> List[sp.spmatrix]:
+                use_native: bool = True,
+                n_workers: int = 1) -> List[sp.spmatrix]:
     """Exact-hop reachability split ``[I, A₁ᵉˣ, A₂ᵉˣ, ...]``.
 
     ``A_kᵉˣ[i,j] = 1`` iff the shortest path between i and j (allowing the
@@ -75,11 +76,18 @@ def nhood_split(adj: sp.spmatrix, nhood: int,
     reachable set stops growing. Reference: h2gcn/datasets/_dataset.py:138-158.
 
     When the native graphops library is available (h2gcn_tpu.native), the
-    boolean spgemm runs through the OpenMP C++ fast path.
+    boolean spgemm runs through the OpenMP C++ fast path. ``n_workers > 1``
+    runs the row-sharded distributed precompute
+    (:func:`h2gcn_tpu.parallel.spgemm.dist_nhood_split`) instead — the
+    at-scale path for graphs whose 2-hop expansion dwarfs one host's core.
     """
     assert adj.ndim == 2 and adj.shape[0] == adj.shape[1]
     if isinstance(nhood, float) and np.isnan(nhood):
         return [sp.csr_matrix(np.ones(adj.shape))]
+    if n_workers > 1:
+        from ..parallel.spgemm import dist_nhood_split
+
+        return dist_nhood_split(adj, nhood, n_workers=n_workers)
     if use_native:
         from .. import native
 

@@ -1,0 +1,75 @@
+"""Distributed exact-hop spgemm == single-host nhood_split (VERDICT #4).
+
+The row-sharded frontier-expansion precompute
+(h2gcn_tpu/parallel/spgemm.py) must reproduce
+transforms.nhood_split exactly — replacing the reference's host spgemm
+bottleneck (reference h2gcn/datasets/_dataset.py:139-158) with a
+multi-worker algorithm whose communication volume is measured.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from h2gcn_tpu.parallel.spgemm import dist_nhood_split
+from h2gcn_tpu.sparse import transforms
+
+
+def _rand_graph(n, m, seed):
+    rng = np.random.default_rng(seed)
+    src, dst = rng.integers(0, n, m), rng.integers(0, n, m)
+    keep = src != dst
+    r = np.concatenate([src[keep], dst[keep]])
+    c = np.concatenate([dst[keep], src[keep]])
+    a = sp.csr_matrix((np.ones(r.size, np.float32), (r, c)), shape=(n, n))
+    a.sum_duplicates()
+    a.data[:] = 1.0
+    return a
+
+
+def _assert_same(ours, ref):
+    assert len(ours) == len(ref)
+    for o, r in zip(ours, ref):
+        o = o.tocsr().sorted_indices()
+        r = r.tocsr().sorted_indices()
+        r.eliminate_zeros()
+        np.testing.assert_array_equal(o.indptr, r.indptr)
+        np.testing.assert_array_equal(o.indices, r.indices)
+
+
+@pytest.mark.parametrize("nhood", [1, 2, 3])
+def test_sharded_algorithm_matches_nhood_split(nhood):
+    a = _rand_graph(300, 900, seed=nhood)
+    ref = transforms.nhood_split(a, nhood)
+    ours = dist_nhood_split(a, nhood, n_workers=1)
+    _assert_same(ours, ref)
+
+
+def test_early_termination_on_saturated_graph():
+    # a dense-ish small graph saturates reachability before hop 4
+    a = _rand_graph(40, 400, seed=7)
+    ref = transforms.nhood_split(a, 6)
+    ours = dist_nhood_split(a, 6, n_workers=1)
+    _assert_same(ours, ref)
+
+
+def test_multiprocess_workers_match_and_report_stats():
+    a = _rand_graph(500, 1500, seed=3)
+    ref = transforms.nhood_split(a, 2)
+    ours, stats = dist_nhood_split(a, 2, n_workers=3, return_stats=True)
+    _assert_same(ours, ref)
+    assert stats.n_workers == 3
+    assert stats.rounds == 1  # one expansion round for the 2-hop split
+    assert len(stats.halo_rows[0]) == 3
+    # every shard needed a halo, and the measured exchange volume is nonzero
+    assert all(h > 0 for h in stats.halo_rows[0])
+    assert stats.total_halo_bytes > 0
+    # hop-2 shard nnz sums to the full hop-2 nnz
+    assert sum(stats.shard_nnz[1]) == ref[2].nnz
+
+
+def test_uneven_shards_and_isolated_nodes():
+    a = _rand_graph(101, 150, seed=11)  # sparse → isolated nodes exist
+    ref = transforms.nhood_split(a, 2)
+    ours = dist_nhood_split(a, 2, n_workers=4)
+    _assert_same(ours, ref)

