@@ -27,7 +27,10 @@ def main():
     parser.add_argument("--features", type=int, default=64)
     parser.add_argument("--edges", type=int, default=60_000)
     parser.add_argument("--platform", default=None)
-    parser.add_argument("--modes", nargs="*", default=["ring", "allgather"])
+    parser.add_argument("--modes", nargs="*",
+                        default=["ring", "allgather", "halo"])
+    parser.add_argument("--out", default=None,
+                        help="also write the report JSON to this path")
     args = parser.parse_args()
 
     import jax
@@ -75,6 +78,8 @@ def main():
                 for loc in locs:
                     if mode == "ring":
                         outs.append(dist.dist_spmm_ring(loc, x_local))
+                    elif mode == "halo":
+                        outs.append(dist.dist_spmm_halo(loc, x_local))
                     else:
                         outs.append(dist.dist_spmm(loc, x_local))
                 return tuple(outs)
@@ -96,6 +101,9 @@ def main():
             )
         report["modes"][mode] = per_mode
 
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1, default=float)
     print(json.dumps(report, indent=1, default=float))
 
 

@@ -237,3 +237,65 @@ def test_predict_cli(planetoid_path, tmp_path):
     test_mask = d["test_mask"].astype(bool)
     labels = np.load(out)["predicted_label"]
     assert (d["predicted_prob"].sum(1) - 1 < 1e-4).all()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [123, 42, 7])
+def test_blocked_selection_equality_across_seeds(planetoid_path, tmp_path,
+                                                 seed):
+    """VERDICT #10: best-EPOCH (not just final-accuracy) equality between
+    --epochs_per_block K and the per-epoch path, over three seeds."""
+    from h2gcn_tpu.run_experiments import main
+
+    common = [
+        "H2GCN", "planetoid", "--dataset", "ind.cora",
+        "--dataset_path", planetoid_path, "--epochs", "30",
+        "--random_seed", str(seed),
+    ]
+    a1 = main(common + [
+        "--checkpoint_dir",
+        str(tmp_path / f"a{seed}" / "{model}_{dataset}_{runname}"),
+    ])
+    a2 = main(common + [
+        "--epochs_per_block", "10",
+        "--checkpoint_dir",
+        str(tmp_path / f"b{seed}" / "{model}_{dataset}_{runname}"),
+    ])
+    b1, b2 = a1.objects["best_val_stats"], a2.objects["best_val_stats"]
+    assert b1["epoch"] == b2["epoch"], f"seed {seed}: best epoch diverged"
+    np.testing.assert_allclose(float(b1["val_acc"]), float(b2["val_acc"]),
+                               atol=1e-5)
+    np.testing.assert_allclose(float(b1["test_accuracy"]),
+                               float(b2["test_accuracy"]), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_blocked_early_stop_deviation_contract(planetoid_path, tmp_path):
+    """The documented early-stop edge case (_runtime.py blocked mode): when
+    the sliding-mean controller fires mid-block, the blocked run may process
+    up to K-1 extra epochs. The contract: the stop epoch differs by < K, and
+    blocked-mode selection is over a SUPERSET of the per-epoch run's epochs
+    (so its best criterion value is >= the per-epoch one)."""
+    from h2gcn_tpu.run_experiments import main
+
+    K = 8
+    common = [
+        "H2GCN", "planetoid", "--dataset", "ind.cora",
+        "--dataset_path", planetoid_path, "--epochs", "400",
+        "--early_stopping", "10",
+    ]
+    a1 = main(common + [
+        "--checkpoint_dir", str(tmp_path / "e1" / "{model}_{dataset}_{runname}"),
+    ])
+    a2 = main(common + [
+        "--epochs_per_block", str(K),
+        "--checkpoint_dir", str(tmp_path / "e2" / "{model}_{dataset}_{runname}"),
+    ])
+    stop1, stop2 = int(a1.epochs), int(a2.epochs)
+    assert stop1 < 400, "early stopping must actually fire for this test"
+    assert stop1 <= stop2 < stop1 + K
+    b1, b2 = a1.objects["best_val_stats"], a2.objects["best_val_stats"]
+    assert float(b2["val_acc"]) >= float(b1["val_acc"]) - 1e-6
+    if b1["epoch"] == b2["epoch"]:
+        np.testing.assert_allclose(float(b1["test_accuracy"]),
+                                   float(b2["test_accuracy"]), atol=1e-5)
