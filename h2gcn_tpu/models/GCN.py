@@ -125,7 +125,7 @@ def add_subparser_args(parser):
     group.add_argument("--save_activations", action="store_true")
     group.add_argument("--save_predictions", nargs="+", type=bool, default=True)
     group.add_argument("--sparse_backend",
-                       choices=["auto", "dense", "bsr", "segment"],
+                       choices=["auto", "dense", "bsr", "cootile", "segment"],
                        default="auto")
     parser.function_hooks["argparse"].append(argparse_callback)
 

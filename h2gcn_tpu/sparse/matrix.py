@@ -93,6 +93,8 @@ class SparseMatrix:
     # (static per graph) — transpose_view's edge ordering without an
     # on-device sort; None for symmetric matrices (transpose == self)
     t_perm: Optional[jax.Array] = None
+    coot: Optional[object] = None     # CooTile payload (pallas_cootile) or None
+    coot_t: Optional[object] = None   # CooTile of the transpose or None
     backend: str = struct.field(pytree_node=False, default="segment")
     symmetric: bool = struct.field(pytree_node=False, default=False)
     # "highest" = full f32 on the MXU (6 bf16 passes, activation-parity
@@ -137,6 +139,8 @@ class SparseMatrix:
             dense=None if self.dense is None else self.dense.T,
             bsr=self.bsr_t,
             bsr_t=self.bsr,
+            coot=self.coot_t,
+            coot_t=self.coot,
             shape=(self.shape[1], self.shape[0]),
             nnz=self.nnz,
             backend=self.backend,
@@ -206,6 +210,8 @@ class SparseMatrix:
         bsr = None
         bsr_t = None
         pdt = jnp.bfloat16 if payload_dtype == "bfloat16" else jnp.float32
+        coot = None
+        coot_t = None
         if backend == "dense":
             dense = jnp.asarray(csr.toarray()).astype(pdt)
         elif backend == "bsr":
@@ -214,6 +220,16 @@ class SparseMatrix:
                 build_transpose = not symmetric
             if build_transpose:
                 bsr_t = _build_bsr(sp.csr_matrix(csr.T), block_size, pdt)
+        elif backend == "cootile":
+            # on-the-fly tile densification (pallas_cootile.py) — the
+            # at-scale path when BSR block occupancy is hopeless
+            from .pallas_cootile import build_cootile
+
+            coot = build_cootile(csr)
+            if build_transpose is None:
+                build_transpose = not symmetric
+            if build_transpose:
+                coot_t = build_cootile(sp.csr_matrix(csr.T))
 
         t_perm = None
         if not symmetric:
@@ -227,6 +243,8 @@ class SparseMatrix:
             dense=dense,
             bsr=bsr,
             bsr_t=bsr_t,
+            coot=coot,
+            coot_t=coot_t,
             t_perm=t_perm,
             shape=(n, m),
             nnz=nnz,
@@ -333,6 +351,12 @@ def _spmm_impl(sm: SparseMatrix, x: jax.Array) -> jax.Array:
 
         return bsr_spmm(sm.bsr, x, n_out=sm.shape[0],
                         precision=sm.precision)
+    if sm.backend == "cootile" and sm.coot is not None:
+        if jax.default_backend() != "tpu":
+            return _spmm_segment(sm, x)
+        from .pallas_cootile import cootile_spmm
+
+        return cootile_spmm(sm.coot, x, precision=sm.precision)
     return _spmm_segment(sm, x)
 
 
@@ -354,6 +378,8 @@ def _spmm_bwd(sm, g):
     smT = sm.transpose_view()
     if smT.backend == "bsr" and smT.bsr is None:
         # No transpose BSR payload was built; fall back to the segment path.
+        smT = smT.replace(backend="segment")
+    if smT.backend == "cootile" and smT.coot is None:
         smT = smT.replace(backend="segment")
     dx = _spmm_impl(smT, g)
     zero_sm = jax.tree_util.tree_map(jnp.zeros_like, sm)

@@ -1,0 +1,239 @@
+"""Pallas TPU kernel: COO-tile SpMM via on-the-fly tile densification.
+
+The at-scale single-chip aggregation path for graphs whose BSR payload
+explodes (huge unclustered graphs: at 250K nodes a 128-block BSR of a
+random power-law Â₂ stores ~1 nnz per 64KB dense block). This kernel never
+stores dense blocks: edges are chunked per ``T×T`` tile and each chunk
+densifies ITSELF on the MXU with two one-hot mask contractions —
+
+    gathered[e, :] = Σ_c 1[cols[e] = c] · x_tile[c, :]          (MXU)
+    contrib[r, :]  = Σ_e 1[rows[e] = r] · vals[e]·gathered[e, :] (MXU)
+
+so HBM traffic per chunk is 12·E_B bytes of edge data + the x tile
+(amortized over all chunks of a tile row), instead of BSR's dense-block
+payload. Replaces the reference's ``tf.sparse.sparse_dense_matmul``
+(h2gcn/models/_layers.py:78-81) in the regime the reference could never
+reach single-device.
+
+Geometry: tiles are ``T×T`` (default 1024), chunks hold ``E_B`` edges
+(default 1024), chunk metadata (tile row/col per chunk) rides the scalar-
+prefetch SMEM path. SMEM is ~1MB, so the chunk list is split into segments
+of ≤``_MAX_CHUNKS`` cut at tile-row boundaries — each segment is its own
+``pallas_call`` writing a disjoint output row range.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+F_TILE = 128
+_MAX_CHUNKS = 64 * 1024  # scalar-prefetch budget: 8B/chunk, SMEM ~1MB
+
+
+@struct.dataclass
+class CooTileSegment:
+    ctr: jax.Array   # [nchunks] int32 tile-row (relative to rb_lo)
+    ctc: jax.Array   # [nchunks] int32 tile-col
+    rows: jax.Array  # [nchunks, E_B] int32 tile-local dest rows
+    cols: jax.Array  # [nchunks, E_B] int32 tile-local src cols
+    vals: jax.Array  # [nchunks, E_B] float32
+    rb_lo: int = struct.field(pytree_node=False)
+    rb_hi: int = struct.field(pytree_node=False)
+
+
+@struct.dataclass
+class CooTile:
+    segments: Tuple[CooTileSegment, ...]
+    tile: int = struct.field(pytree_node=False)
+    e_b: int = struct.field(pytree_node=False)
+    n_rows: int = struct.field(pytree_node=False)
+    n_cols: int = struct.field(pytree_node=False)
+
+
+def build_cootile(csr, tile: int = 1024, e_b: int = 1024) -> CooTile:
+    """Host prep (fully vectorized): sort edges by (tile_row, tile_col),
+    chunk to fixed E_B groups, add filler chunks so every tile row
+    initializes its output block, segment for the SMEM budget, and stage
+    everything on device ONCE."""
+    import scipy.sparse as sp
+
+    csr = sp.csr_matrix(csr)
+    coo = csr.tocoo()
+    n, m = csr.shape
+    n_rb = -(-n // tile)
+    ncb = -(-m // tile)
+
+    tr_all = (coo.row // tile).astype(np.int64)
+    tc_all = (coo.col // tile).astype(np.int64)
+    order = np.lexsort((coo.col, coo.row, tc_all, tr_all))
+    r = coo.row[order].astype(np.int64)
+    c = coo.col[order].astype(np.int64)
+    v = coo.data[order].astype(np.float32)
+    tile_key = tr_all[order] * ncb + tc_all[order]
+
+    uniq, starts, counts = np.unique(tile_key, return_index=True,
+                                     return_counts=True)
+    chunks_per_tile = -(-counts // e_b)
+    chunk_offset = np.concatenate([[0], np.cumsum(chunks_per_tile)])
+    nchunks = int(chunk_offset[-1])
+
+    if nchunks:
+        pos_in_tile = np.arange(len(r)) - np.repeat(starts, counts)
+        chunk_id = np.repeat(chunk_offset[:-1], counts) + pos_in_tile // e_b
+        slot = chunk_id * e_b + pos_in_tile % e_b
+    else:
+        slot = np.zeros(0, np.int64)
+
+    ctr = np.repeat((uniq // ncb).astype(np.int32), chunks_per_tile)
+    ctc = np.repeat((uniq % ncb).astype(np.int32), chunks_per_tile)
+    # filler chunks: every tile ROW needs >=1 chunk (output init)
+    missing = np.setdiff1d(np.arange(n_rb, dtype=np.int32), ctr)
+    total = nchunks + len(missing)
+    rows = np.zeros(total * e_b, np.int32)
+    cols = np.zeros(total * e_b, np.int32)
+    vals = np.zeros(total * e_b, np.float32)
+    rows[slot] = r % tile
+    cols[slot] = c % tile
+    vals[slot] = v
+    ctr = np.concatenate([ctr, missing])
+    ctc = np.concatenate([ctc, np.zeros(len(missing), np.int32)])
+    order2 = np.argsort(ctr, kind="stable")
+    ctr, ctc = ctr[order2], ctc[order2]
+    rows = rows.reshape(total, e_b)[order2]
+    cols = cols.reshape(total, e_b)[order2]
+    vals = vals.reshape(total, e_b)[order2]
+
+    # segments: <= _MAX_CHUNKS each, cut only at tile-row boundaries,
+    # padded to a multiple of 8 chunks (edge blocks are DMA'd 8 at a time)
+    row_starts = np.flatnonzero(np.diff(ctr, prepend=-1))
+    segments = []
+    lo = 0
+    while lo < total:
+        hi = min(lo + _MAX_CHUNKS, total)
+        if hi < total:
+            cut = row_starts[(row_starts > lo) & (row_starts <= hi)]
+            if len(cut):
+                hi = int(cut[-1])
+            else:
+                # one tile row alone exceeds the budget: extend to the next
+                # row boundary (splitting a row would double-write its
+                # output block) — SMEM can overrun only for a >64M-edge
+                # single tile row, far past any real workload
+                nxt = row_starts[row_starts > lo]
+                hi = int(nxt[0]) if len(nxt) else total
+        rb_lo, rb_hi = int(ctr[lo]), int(ctr[hi - 1]) + 1
+        pad8 = (-(hi - lo)) % 8
+        sl = slice(lo, hi)
+
+        def padz(a, fill=0):
+            if pad8 == 0:
+                return a
+            z = np.full((pad8,) + a.shape[1:], fill, a.dtype)
+            return np.concatenate([a, z])
+
+        segments.append(CooTileSegment(
+            ctr=jnp.asarray(padz(ctr[sl] - rb_lo, rb_hi - 1 - rb_lo)),
+            ctc=jnp.asarray(padz(ctc[sl])),
+            rows=jnp.asarray(padz(rows[sl])),
+            cols=jnp.asarray(padz(cols[sl])),
+            vals=jnp.asarray(padz(vals[sl])),
+            rb_lo=rb_lo, rb_hi=rb_hi,
+        ))
+        lo = hi
+    return CooTile(segments=tuple(segments), tile=tile, e_b=e_b,
+                   n_rows=n, n_cols=m)
+
+
+def _make_kernel(tile, e_b, compute_dtype):
+    from jax.experimental import pallas as pl
+
+    prec = (jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+    def kernel(ctr_ref, ctc_ref, rows_ref, cols_ref, vals_ref, x_ref, o_ref):
+        i = pl.program_id(1)
+        prev = ctr_ref[jnp.maximum(i - 1, 0)]
+        first = jnp.logical_or(i == 0, ctr_ref[i] != prev)
+
+        sub = i % 8  # which chunk within the 8-chunk DMA block
+        cols = cols_ref[sub]
+        rows = rows_ref[sub]
+        vals = vals_ref[sub]
+        iota_ec = jax.lax.broadcasted_iota(jnp.int32, (e_b, tile), 1)
+        col_oh = (cols[:, None] == iota_ec).astype(compute_dtype)
+        gathered = jnp.dot(col_oh, x_ref[...].astype(compute_dtype),
+                           preferred_element_type=jnp.float32,
+                           precision=prec)
+        gathered = gathered * vals[:, None]
+        iota_te = jax.lax.broadcasted_iota(jnp.int32, (tile, e_b), 0)
+        row_oh = (iota_te == rows[None, :]).astype(compute_dtype)
+        contrib = jnp.dot(row_oh, gathered.astype(compute_dtype),
+                          preferred_element_type=jnp.float32,
+                          precision=prec)
+
+        @pl.when(first)
+        def _():
+            o_ref[...] = contrib
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            o_ref[...] = o_ref[...] + contrib
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _seg_fn(nchunks, rb_span, tile, e_b, f_pad, dtype_name, interpret):
+    """Cached pallas_call construction — a fresh pallas_call per invocation
+    would defeat jax's compile cache (new closure identity => new trace =>
+    seconds of recompile per call)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    compute_dtype = jnp.float32 if dtype_name == "float32" else jnp.bfloat16
+    grid = (f_pad // F_TILE, nchunks)
+    return pl.pallas_call(
+        _make_kernel(tile, e_b, compute_dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((8, e_b), lambda j, i, tr, tc: (i // 8, 0)),
+                pl.BlockSpec((8, e_b), lambda j, i, tr, tc: (i // 8, 0)),
+                pl.BlockSpec((8, e_b), lambda j, i, tr, tc: (i // 8, 0)),
+                pl.BlockSpec((tile, F_TILE), lambda j, i, tr, tc: (tc[i], j)),
+            ],
+            out_specs=pl.BlockSpec((tile, F_TILE),
+                                   lambda j, i, tr, tc: (tr[i], j)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((rb_span * tile, f_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )
+
+
+def cootile_spmm(ct: CooTile, x: jax.Array, *, precision: str = "highest",
+                 interpret: bool = False) -> jax.Array:
+    """``A @ x`` for a :class:`CooTile`. ``x``: [m, F] → [n, F] float32."""
+    tile, e_b = ct.tile, ct.e_b
+    m, f = x.shape
+    f_pad = max(F_TILE, -(-f // F_TILE) * F_TILE)
+    m_pad = -(-m // tile) * tile
+    xp = x
+    if m_pad != m or f_pad != f:
+        xp = jnp.zeros((m_pad, f_pad), x.dtype).at[:m, :f].set(x)
+    dtype_name = "float32" if precision == "highest" else "bfloat16"
+    parts = []
+    for seg in ct.segments:
+        fn = _seg_fn(seg.ctr.shape[0], seg.rb_hi - seg.rb_lo, tile, e_b,
+                     f_pad, dtype_name, interpret)
+        parts.append(fn(seg.ctr, seg.ctc, seg.rows, seg.cols, seg.vals, xp))
+    out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    return out[: ct.n_rows, :f]

@@ -1,0 +1,105 @@
+"""COO-tile SpMM backend (pallas_cootile.py): host prep + kernel semantics.
+
+The kernel itself runs in Pallas interpret mode here (CPU test mesh); the
+compiled TPU path is covered by tests/test_pallas_tpu.py's TPU-marked
+cootile test and the large-graph bench.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from h2gcn_tpu.sparse import SparseMatrix, spmm
+from h2gcn_tpu.sparse.pallas_cootile import (
+    CooTile, build_cootile, cootile_spmm,
+)
+
+
+def _rand(n, m, density, seed, empty_row_band=None):
+    a = sp.random(n, m, density=density, random_state=seed, format="csr",
+                  dtype=np.float32)
+    if empty_row_band is not None:
+        lo, hi = empty_row_band
+        mask = np.ones(n, bool)
+        mask[lo:hi] = False
+        d = sp.diags(mask.astype(np.float32))
+        a = (d @ a).tocsr()
+        a.eliminate_zeros()
+    return a
+
+
+def test_build_cootile_structure():
+    a = _rand(300, 300, 0.02, 0)
+    ct = build_cootile(a, tile=128, e_b=64)
+    assert isinstance(ct, CooTile)
+    total_edges = sum(int((np.asarray(s.vals) != 0).sum())
+                      for s in ct.segments)
+    assert total_edges == a.nnz
+    # every tile row covered (fillers guarantee output init)
+    covered = set()
+    for s in ct.segments:
+        covered.update((np.asarray(s.ctr) + s.rb_lo).tolist())
+    assert covered == set(range(-(-300 // 128)))
+    # chunk count multiple of 8 per segment
+    for s in ct.segments:
+        assert s.ctr.shape[0] % 8 == 0
+
+
+@pytest.mark.parametrize("shape,density", [((300, 300), 0.02),
+                                           ((257, 390), 0.01),
+                                           ((64, 700), 0.05)])
+def test_cootile_interpret_matches_scipy(shape, density):
+    n, m = shape
+    a = _rand(n, m, density, seed=n)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((m, 48)).astype(np.float32)
+    ct = build_cootile(a, tile=128, e_b=64)
+    y = np.asarray(cootile_spmm(ct, jnp.asarray(x), precision="highest",
+                                interpret=True))
+    np.testing.assert_allclose(y, a @ x, rtol=1e-5, atol=1e-5)
+
+
+def test_cootile_empty_row_band_is_zero():
+    a = _rand(400, 400, 0.02, 3, empty_row_band=(128, 256))
+    x = np.random.default_rng(0).standard_normal((400, 16)).astype(np.float32)
+    ct = build_cootile(a, tile=128, e_b=64)
+    y = np.asarray(cootile_spmm(ct, jnp.asarray(x), precision="highest",
+                                interpret=True))
+    np.testing.assert_allclose(y[128:256], 0.0)
+    np.testing.assert_allclose(y, a @ x, rtol=1e-5, atol=1e-5)
+
+
+def test_sparsematrix_cootile_backend_cpu_fallback_and_grads():
+    """On CPU the cootile backend reduces via the segment path (like BSR);
+    gradients flow through the custom VJP with the transpose payload."""
+    a = _rand(200, 200, 0.03, 7)
+    sm = SparseMatrix.from_scipy(a, backend="cootile")
+    assert sm.backend == "cootile" and sm.coot is not None
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((200, 8)).astype(np.float32))
+    y = jax.jit(spmm)(sm, x)
+    np.testing.assert_allclose(np.asarray(y), a @ np.asarray(x),
+                               rtol=1e-5, atol=1e-5)
+    g = jax.grad(lambda xx: jnp.sum(spmm(sm, xx) ** 2))(x)
+    g_ref = 2 * a.T @ (a @ np.asarray(x))
+    np.testing.assert_allclose(np.asarray(g), g_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_cootile_segmentation_respects_row_boundaries(monkeypatch):
+    import h2gcn_tpu.sparse.pallas_cootile as pc
+
+    monkeypatch.setattr(pc, "_MAX_CHUNKS", 16)
+    a = _rand(1000, 1000, 0.02, 5)
+    ct = pc.build_cootile(a, tile=128, e_b=32)
+    assert len(ct.segments) > 1
+    spans = [(s.rb_lo, s.rb_hi) for s in ct.segments]
+    # disjoint, contiguous, ordered row coverage
+    for (l1, h1), (l2, h2) in zip(spans, spans[1:]):
+        assert h1 == l2
+    assert spans[0][0] == 0 and spans[-1][1] == -(-1000 // 128)
+    x = np.random.default_rng(4).standard_normal((1000, 16)).astype(np.float32)
+    y = np.asarray(pc.cootile_spmm(ct, jnp.asarray(x), precision="highest",
+                                   interpret=True))
+    np.testing.assert_allclose(y, a @ x, rtol=1e-5, atol=1e-5)

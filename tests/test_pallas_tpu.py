@@ -77,3 +77,20 @@ def test_fused_attention_kernel_tpu():
         alpha = alpha / alpha.sum(1, keepdims=True)
         ref[:, k * F:(k + 1) * F] = alpha @ h[:, k * F:(k + 1) * F]
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.skipif(not _on_tpu(), reason="requires TPU")
+@pytest.mark.parametrize("precision", ["highest", "default"])
+def test_cootile_spmm_tpu(precision):
+    import jax.numpy as jnp
+
+    from h2gcn_tpu.sparse import SparseMatrix, spmm
+
+    A = sp.random(3000, 3000, density=0.004, random_state=1,
+                  format="csr").astype(np.float32)
+    x = np.random.default_rng(1).standard_normal((3000, 64)).astype(np.float32)
+    sm = SparseMatrix.from_scipy(A, backend="cootile", precision=precision)
+    y = np.asarray(spmm(sm, jnp.asarray(x)))
+    ref = A @ x
+    tol = 1e-4 if precision == "highest" else 3e-2
+    np.testing.assert_allclose(y, ref, rtol=tol, atol=tol)
