@@ -131,6 +131,9 @@ def run_model(graph_job: Job, config: dict, *, epochs=None, tuning=False,
         if epochs is not None:
             argv += ["--epochs", str(epochs)]
         if extra_args:
+            # a bare string would char-split through list() — tokenize it
+            if isinstance(extra_args, str):
+                extra_args = extra_args.split()
             argv += list(extra_args)
         print(f"[run_model] {' '.join(argv)}")
         if dry_run:
