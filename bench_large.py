@@ -43,7 +43,10 @@ def count_bsr_blocks(a: sp.csr_matrix, block=128) -> int:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=250_000)
-    ap.add_argument("--edges", type=int, default=1_250_000)
+    ap.add_argument("--edges", type=int, default=400_000,
+                    help="~400K edges -> ~22M-nnz hop2 at n=250K (the "
+                         "VERDICT #3 regime); heavier tails explode "
+                         "quadratically through the hubs")
     ap.add_argument("--features", type=int, default=64)
     ap.add_argument("--skip_tpu", action="store_true",
                     help="host-side (precompute) benchmark only")
@@ -151,6 +154,27 @@ def main():
         sol["segment/f32"] = sum(
             spmm_bytes("segment", "f32", m, args.n, args.features)
             for m in (a1, a2)) / bw
+        # COO-tile kernel: the payload-free at-scale path (pallas_cootile)
+        t0 = time.perf_counter()
+        c1 = SparseMatrix.from_scipy(a1, backend="cootile")
+        c2 = SparseMatrix.from_scipy(a2, backend="cootile")
+        report["cootile_build_s"] = time.perf_counter() - t0
+        for tag, prec in (("f32", "highest"), ("bf16", "default")):
+            c1p, c2p = c1.replace(precision=prec), c2.replace(precision=prec)
+            fns[f"cootile/{tag}"] = (
+                lambda c1p=c1p, c2p=c2p: agg(c1p, c2p, x))
+            # roofline: edge chunks + one x tile per visited tile + out
+            coot_bytes = 0.0
+            for cm, asp in ((c1, a1), (c2, a2)):
+                nch = sum(s.ctr.shape[0] for s in cm.coot.segments)
+                tiles = len(np.unique(
+                    (asp.tocoo().row // cm.coot.tile).astype(np.int64)
+                    * (-(-args.n // cm.coot.tile))
+                    + asp.tocoo().col // cm.coot.tile))
+                coot_bytes += (nch * cm.coot.e_b * 12
+                               + tiles * cm.coot.tile * 128 * 4
+                               + args.n * args.features * 4)
+            sol[f"cootile/{tag}"] = coot_bytes / bw
         if bsr_feasible:
             for tag, kw in (("f32", {}), ("bf16",
                                           dict(payload_dtype="bfloat16",
