@@ -377,6 +377,17 @@ class PlanetoidData:
         if get_adj_hops:
             groups = _hop_groups(get_adj_hops)
             kmax = max(chain(*groups))
+            n = self.num_samples
+            if n * n * len(groups) > self._DENSE_FEATURE_GUARD:
+                # unnormalized hops export a dense [n, G, n] stack (the
+                # reference's getAdjHops semantics) — refuse past the guard
+                # instead of a silent multi-GB materialization
+                raise ValueError(
+                    f"get_adj_hops would materialize a dense "
+                    f"[{n}, {len(groups)}, {n}] stack "
+                    f"({n * n * len(groups):,} elements) — use the "
+                    "normalized sparse hop pipeline (get_adj_norm_hops) "
+                    "at this scale")
             splits = _pad_splits(
                 transforms.nhood_split(self.sparse_adj, kmax,
                                        n_workers=precompute_workers), kmax

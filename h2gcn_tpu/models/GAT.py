@@ -323,6 +323,28 @@ class _StatsPatience:
         return self.inner(self.args.objects["epoch_stats"])
 
 
+def build_attention_support(dataset, nhood):
+    """k-hop self-looped reachability support (reference utils/process.py:
+    15-32 adj_to_bias / :122-131 preprocess_adj_bias)."""
+    import numpy as _np
+    import scipy.sparse as _sp
+
+    if _np.isinf(nhood):
+        n = dataset.num_samples
+        if n * n > 250_000_000:
+            # all-ones attention support is an n^2 materialization (reference
+            # adj_to_bias semantics) — refuse past ~1GB instead of silently
+            # exhausting host memory on a large graph
+            raise ValueError(
+                f"--nhood inf builds a dense {n}x{n} all-pairs support "
+                f"({n * n:,} entries) — use a finite --nhood at this scale")
+        return _sp.csr_matrix(_np.ones((n, n), _np.float32))
+    if nhood == 1:
+        return transforms.add_eye(dataset.sparse_adj)
+    hops = transforms.nhood_split(dataset.sparse_adj, int(nhood))
+    return transforms.add_eye(sum(hops[1:]))
+
+
 def argparse_callback(args):
     from ..sparse import SparseMatrix
 
@@ -331,22 +353,9 @@ def argparse_callback(args):
         dataset.row_normalize_features()
     tensors = dataset.get_tensors(backend="segment")
     tensors.adj_hops = []
-    # attention support: k-hop self-looped reachability, replacing the raw
-    # adjacency in the tensor dict so it flows into the jitted step as an
-    # argument (reference utils/process.py:15-32 adj_to_bias /
-    # :122-131 preprocess_adj_bias)
-    import numpy as _np
-    import scipy.sparse as _sp
-
-    if _np.isinf(args.nhood):
-        support = _sp.csr_matrix(
-            _np.ones((dataset.num_samples, dataset.num_samples), _np.float32)
-        )
-    elif args.nhood == 1:
-        support = transforms.add_eye(dataset.sparse_adj)
-    else:
-        hops = transforms.nhood_split(dataset.sparse_adj, int(args.nhood))
-        support = transforms.add_eye(sum(hops[1:]))
+    # attention support replaces the raw adjacency in the tensor dict so it
+    # flows into the jitted step as an argument
+    support = build_attention_support(dataset, args.nhood)
     # bsr backend also retains the full COO arrays, so both the segment path
     # and the fused Pallas kernel can run off the same tensor
     tensors.adj = SparseMatrix.from_scipy(

@@ -95,3 +95,33 @@ def test_sparse_features_train_step_end_to_end(planetoid_path):
     gnorm = float(sum(jnp.sum(jnp.abs(v)) for layer in g
                       for v in layer.values()))
     assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_adj_hops_dense_stack_guard(planetoid_path):
+    """get_adj_hops (unnormalized, dense [n,G,n] export) refuses at scale."""
+    ds = PlanetoidData("ind.cora", planetoid_path, val_size=500)
+    n = 20_000
+    ds._sparse_data["sparse_adj"] = sp.eye(n, format="csr", dtype=np.float32)
+    ds._sparse_data["features"] = sp.eye(n, format="csr", dtype=np.float32)
+    ds._dense_data["y_all"] = np.zeros((n, 3), np.float32)
+    with pytest.raises(ValueError, match="get_adj_norm_hops"):
+        ds.get_tensors(get_adj_hops=["1"], backend="segment",
+                       sparse_features=True)
+
+
+def test_gat_nhood_inf_guard():
+    """GAT --nhood inf refuses the n^2 all-pairs support at scale."""
+    from h2gcn_tpu.models.GAT import build_attention_support
+
+    class FakeDataset:
+        num_samples = 40_000
+
+    with pytest.raises(ValueError, match="nhood inf"):
+        build_attention_support(FakeDataset(), float("inf"))
+
+    # small graphs still get the all-ones support
+    class Small:
+        num_samples = 12
+
+    sup = build_attention_support(Small(), float("inf"))
+    assert sup.shape == (12, 12) and sup.nnz == 144
