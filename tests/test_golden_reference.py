@@ -38,7 +38,16 @@ CASES = {
     "h2gcn2_cora": "ref_h2gcn2_cora.npz",
     "h2gcn1_cora": "ref_h2gcn1_cora.npz",
     "h2gcn2_citeseer": "ref_h2gcn2_citeseer.npz",
+    # hop GROUPS ("0,1" = I + exact-1-hop summed before normalization) —
+    # pins the group-sum path of getTensors (reference _dataset.py:569-574)
+    "h2gcn2_cora_hopgroups": "ref_h2gcn2_cora_hopgroups.npz",
 }
+
+
+def _adj_nhood(npz):
+    if "meta/adj_nhood" in npz.files:
+        return str(npz["meta/adj_nhood"]).split(";")
+    return ["1", "2"]
 
 
 @pytest.fixture(params=sorted(CASES), scope="module")
@@ -141,12 +150,13 @@ def test_pipeline_matches_reference_inputs(golden, planetoid_path):
     ds = PlanetoidData(dataset, planetoid_path, val_size=500)
     ds.row_normalize_features()
     ds.adj_remove_eye()
-    tensors = ds.get_tensors(get_adj_norm_hops=["1", "2"], backend="segment")
+    hop_spec = _adj_nhood(golden)
+    tensors = ds.get_tensors(get_adj_norm_hops=hop_spec, backend="segment")
 
     ref_feats = _sparse_from(golden, "inputs/inputs").toarray()
     np.testing.assert_allclose(np.asarray(tensors.features), ref_feats,
                                rtol=1e-6, atol=1e-7)
-    for h in range(2):
+    for h in range(len(hop_spec)):
         ref_hop = _sparse_from(golden, f"inputs/adjhops/{h}").toarray()
         np.testing.assert_allclose(
             tensors.adj_hops[h].to_scipy().toarray(), ref_hop,

@@ -118,6 +118,7 @@ def main():
     for name in ("y_train", "y_val", "y_test", "train_mask", "val_mask", "test_mask"):
         out[f"tensors/{name}"] = np.asarray(tensors[name])
     out["meta/network_setup"] = np.array(opts.network_setup)
+    out["meta/adj_nhood"] = np.array(";".join(opts.adj_nhood))
     out["meta/dataset"] = np.array(opts.dataset)
     out["meta/random_seed"] = np.array(opts.random_seed)
     out["meta/tf_version"] = np.array(tf.__version__)
