@@ -186,7 +186,17 @@ class SparseMatrix:
                 # of heterophily graphs): the MXU matmul beats block-sparse
                 backend = "dense"
             else:
-                backend = "bsr"
+                # BSR is only economical with real block occupancy: count
+                # the nonzero 128-blocks and refuse payloads that would
+                # dwarf the edge data (huge unclustered graphs) in favor of
+                # the payload-free COO-tile kernel
+                ncb = -(-m // block_size)
+                nb = np.unique(
+                    (coo.row // block_size).astype(np.int64) * ncb
+                    + coo.col // block_size
+                ).size
+                payload_bytes = nb * block_size * block_size * 4
+                backend = "bsr" if payload_bytes <= 4e9 else "cootile"
 
         if backend == "dense":
             # the dense payload is authoritative; keep only no-op COO

@@ -103,3 +103,18 @@ def test_cootile_segmentation_respects_row_boundaries(monkeypatch):
     y = np.asarray(pc.cootile_spmm(ct, jnp.asarray(x), precision="highest",
                                    interpret=True))
     np.testing.assert_allclose(y, a @ x, rtol=1e-5, atol=1e-5)
+
+
+def test_auto_backend_prefers_cootile_when_bsr_payload_explodes():
+    """auto heuristic: a large scattered matrix whose 128-block payload
+    would exceed the budget routes to cootile instead of bsr."""
+    rng = np.random.default_rng(9)
+    n = 40_000
+    # ~1.1M random edges: nearly every edge lands in its own 128-block ->
+    # payload ~ 1M * 64KB >> 4GB budget
+    r = rng.integers(0, n, 1_100_000)
+    c = rng.integers(0, n, 1_100_000)
+    a = sp.csr_matrix((np.ones(len(r), np.float32), (r, c)), shape=(n, n))
+    sm = SparseMatrix.from_scipy(a, backend="auto", build_transpose=False)
+    assert sm.backend == "cootile"
+    assert sm.coot is not None
