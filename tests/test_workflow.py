@@ -241,3 +241,61 @@ def test_run_sweep_parallel_workers(pipeline_root, tmp_path):
     for job in workflow.run_sweep(root, cfg, epochs=4, parallel=2,
                                   extra_args="--platform cpu"):
         assert workflow.model_experiments_finished(job, cfg)
+
+
+def test_geomgcn_reexport_end_to_end(tmp_path):
+    """method='geomgcn' graph re-export: raw GeomGCN files flow through the
+    generation pipeline (export → unmodified features → stored-mask split)
+    and train through the sweep runner — the full heterophilous-benchmark
+    path with no network access."""
+    rng = np.random.RandomState(0)
+    n, f, c = 36, 10, 3
+    feats = (rng.rand(n, f) > 0.5).astype(int)
+    labels = rng.randint(0, c, n)
+    src = tmp_path / "raw"
+    src.mkdir()
+    with open(src / "out1_node_feature_label.txt", "w") as fh:
+        fh.write("node_id\tfeature\tlabel\n")
+        for i in range(n):
+            fh.write(f"{i}\t{','.join(map(str, feats[i]))}\t{labels[i]}\n")
+    edges = {(i, i + 1) for i in range(n - 1)}
+    while len(edges) < 80:
+        u, v = rng.randint(0, n, 2)
+        if u != v:
+            edges.add((u, v))
+    with open(src / "out1_graph_edges.txt", "w") as fh:
+        fh.write("src\tdst\n")
+        for u, v in sorted(edges):
+            fh.write(f"{u}\t{v}\n")
+    mask_file = tmp_path / "split0.npz"
+    perm = rng.permutation(n)
+    np.savez(mask_file,
+             train_mask=np.isin(np.arange(n), perm[:20]),
+             val_mask=np.isin(np.arange(n), perm[20:28]),
+             test_mask=np.isin(np.arange(n), perm[28:]))
+
+    proj = get_project(str(tmp_path / "p"))
+    job = proj.open_job({
+        "method": "geomgcn", "datasetName": "toy",
+        "source_path": str(src), "graphName": "toy-geomgcn",
+        "numClass": c,
+    }).init()
+    generation.generate_graph(job)
+    from h2gcn_tpu.experiments import store_tools
+
+    fjob = next(iter(store_tools.get_feature_project(job)))
+    store_tools.get_split_project(fjob).open_job(
+        {"split_source": str(mask_file)}).init()
+    generation.generate_split(job)
+    _, split_job, fg_name, files = next(iter(
+        generation.feature_split_iter(job)))
+    assert split_job.doc.get("succeeded")
+    assert all(split_job.isfile(fl) for fl in files)
+
+    cfg = dict(MODEL_CONFIG,
+               model_args=["H2GCN --network_setup M8-R-T1-G-V-C1-MO "
+                           "--adj_nhood 1 --hidden 8"])
+    results = workflow.run_model(job, cfg, epochs=3,
+                                 extra_args="--platform cpu")
+    assert results and all(rc == 0 for _, rc in results)
+    assert workflow.model_experiments_finished(job, cfg)
