@@ -131,7 +131,10 @@ def dist_nhood_split(
                    dtype=np.float32)[bounds[p]:bounds[p + 1]].tocsr()
             for p in range(n_workers)
         ]
-        edge_sum = float(n)
+        # starts at 0 (not nnz(I)) so hop 1 never early-breaks — matching
+        # transforms.nhood_split, which appends an EMPTY hop-1 matrix for an
+        # edgeless graph rather than stopping before it
+        edge_sum = 0.0
         for hop in range(1, nhood + 1):
             if hop == 1:
                 cur_shards = shards  # I ⊙ R₁ = R₁ — no expansion round

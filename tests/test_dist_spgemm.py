@@ -73,3 +73,10 @@ def test_uneven_shards_and_isolated_nodes():
     ref = transforms.nhood_split(a, 2)
     ours = dist_nhood_split(a, 2, n_workers=4)
     _assert_same(ours, ref)
+
+
+def test_edgeless_graph_matches_nhood_split():
+    a = sp.csr_matrix((50, 50), dtype=np.float32)
+    ref = transforms.nhood_split(a, 2)
+    ours = dist_nhood_split(a, 2, n_workers=1)
+    _assert_same(ours, ref)
