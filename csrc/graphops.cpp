@@ -170,6 +170,62 @@ void csr_to_bsr_fill(int64_t n_rows, int64_t block,
     }
 }
 
-int graphops_version() { return 1; }
+// Reverse Cuthill-McKee ordering on a symmetric CSR pattern. Writes a
+// permutation `perm` (int32[n]) such that A[perm][:, perm] has reduced
+// bandwidth — used to cluster edges into dense tiles so the BSR/COO-tile
+// SpMM backends touch fewer blocks at large scale. BFS per connected
+// component from a minimum-degree seed, neighbors visited in degree order,
+// whole order reversed at the end (the classic RCM recipe; greenfield —
+// the reference has no analogue, its scipy path densifies instead).
+void rcm_order(int64_t n, const int64_t* indptr, const int32_t* indices,
+               int32_t* perm) {
+    std::vector<int32_t> degree(n);
+    for (int64_t i = 0; i < n; ++i)
+        degree[i] = static_cast<int32_t>(indptr[i + 1] - indptr[i]);
+
+    // global degree-ascending node order: component seeds are scanned from
+    // here so each component starts at (one of) its min-degree nodes.
+    std::vector<int32_t> by_degree(n);
+    for (int64_t i = 0; i < n; ++i) by_degree[i] = static_cast<int32_t>(i);
+    std::sort(by_degree.begin(), by_degree.end(),
+              [&](int32_t a, int32_t b) {
+                  return degree[a] != degree[b] ? degree[a] < degree[b]
+                                                : a < b;
+              });
+
+    std::vector<uint8_t> visited(n, 0);
+    std::vector<int32_t> order;
+    order.reserve(n);
+    std::vector<int32_t> nbrs;
+    int64_t seed_scan = 0;
+    while (static_cast<int64_t>(order.size()) < n) {
+        while (visited[by_degree[seed_scan]]) ++seed_scan;
+        const int32_t seed = by_degree[seed_scan];
+        visited[seed] = 1;
+        order.push_back(seed);
+        // BFS over order[] itself as the queue
+        for (size_t head = order.size() - 1; head < order.size(); ++head) {
+            const int32_t u = order[head];
+            nbrs.clear();
+            for (int64_t jj = indptr[u]; jj < indptr[u + 1]; ++jj) {
+                const int32_t v = indices[jj];
+                if (!visited[v]) {
+                    visited[v] = 1;
+                    nbrs.push_back(v);
+                }
+            }
+            std::sort(nbrs.begin(), nbrs.end(),
+                      [&](int32_t a, int32_t b) {
+                          return degree[a] != degree[b]
+                                     ? degree[a] < degree[b]
+                                     : a < b;
+                      });
+            order.insert(order.end(), nbrs.begin(), nbrs.end());
+        }
+    }
+    for (int64_t i = 0; i < n; ++i) perm[i] = order[n - 1 - i];
+}
+
+int graphops_version() { return 2; }
 
 }  // extern "C"

@@ -316,6 +316,7 @@ class PlanetoidData:
         backend: str = "auto",
         sparse_features: bool = False,
         precompute_workers: int = 1,
+        reorder: str | None = None,
     ) -> Namespace:
         """Export device tensors — the JAX analogue of reference ``getTensors``
         (_dataset.py:537-584).
@@ -332,16 +333,33 @@ class PlanetoidData:
         required for identity-scale features on large graphs.
         ``precompute_workers > 1`` routes the exact-hop split through the
         distributed row-sharded spgemm (parallel/spgemm.py).
+        ``reorder`` ("rcm" | "cluster") applies a tile-clustering node
+        permutation to every exported tensor (graph, features, labels,
+        masks) so the blocked SpMM backends touch fewer tiles; the
+        permutation is exported as ``t.node_perm`` and saved predictions /
+        activations are mapped back to original node order by the runtime.
+        Order-insensitive for training math — purely a layout optimization
+        (no reference analogue; scipy SpMM has no tile structure).
         """
         import jax.numpy as jnp
 
+        perm = None
+        if reorder:
+            perm = transforms.cluster_order(self.sparse_adj, method=reorder)
+
+        def _permuted(m):
+            return transforms.permute_graph(m, perm) if perm is not None else m
+
         t = Namespace()
         t.adj = SparseMatrix.from_scipy(
-            self.sparse_adj.astype(dtype), backend=backend
+            _permuted(self.sparse_adj).astype(dtype), backend=backend
         )
         if sparse_features:
+            feats = sp.csr_matrix(self.features)
+            if perm is not None:
+                feats = feats[perm]
             t.features = SparseMatrix.from_scipy(
-                sp.csr_matrix(self.features).astype(dtype), backend="segment"
+                feats.astype(dtype), backend="segment"
             )
         else:
             n_elems = int(self.features.shape[0]) * int(self.features.shape[1])
@@ -351,9 +369,10 @@ class PlanetoidData:
                     f"({n_elems:,} elements) would exhaust device memory — "
                     "pass sparse_features=True (CLI: --sparse_features) to "
                     "keep X on the sparse SpMM path")
-            t.features = jnp.asarray(
-                np.asarray(self.features.todense(), dtype=dtype)
-            )
+            feats_np = np.asarray(self.features.todense(), dtype=dtype)
+            if perm is not None:
+                feats_np = feats_np[perm]
+            t.features = jnp.asarray(feats_np)
 
         def _hop_groups(spec):
             return [[int(x) for x in elem.split(",")] for elem in spec]
@@ -371,7 +390,8 @@ class PlanetoidData:
 
         if supports is not None:
             t.adj_hops = [
-                SparseMatrix.from_scipy(m.astype(dtype), backend=backend)
+                SparseMatrix.from_scipy(_permuted(m).astype(dtype),
+                                        backend=backend)
                 for m in supports
             ]
         if get_adj_hops:
@@ -393,7 +413,8 @@ class PlanetoidData:
                                        n_workers=precompute_workers), kmax
             )
             merged = np.stack(
-                [np.asarray(sum(splits[i] for i in g).todense()) for g in groups],
+                [np.asarray(_permuted(sum(splits[i] for i in g)).todense())
+                 for g in groups],
                 axis=1,
             )
             t.adj_hops = jnp.asarray(merged.astype(dtype))
@@ -414,14 +435,21 @@ class PlanetoidData:
                 summed = [sum(splits[i] for i in g) for g in groups]
                 normed = [transforms.normalize(m, norm_type) for m in summed]
             t.adj_hops = [
-                SparseMatrix.from_scipy(m.astype(dtype), backend=backend)
+                SparseMatrix.from_scipy(_permuted(m).astype(dtype),
+                                        backend=backend)
                 for m in normed
             ]
 
         for key, value in self._dense_data.items():
             t_val = np.asarray(value, dtype=dtype)
+            if perm is not None and t_val.shape[:1] == (self.num_samples,):
+                t_val = t_val[perm]
             setattr(t, key, jnp.asarray(t_val))
-        t.labels = jnp.asarray(self.labels)
+        labels_np = np.asarray(self.labels)
+        if perm is not None:
+            labels_np = labels_np[perm]
+            t.node_perm = perm
+        t.labels = jnp.asarray(labels_np)
         return t
 
 

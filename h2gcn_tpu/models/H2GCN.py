@@ -55,6 +55,12 @@ def add_subparser_args(parser):
     group.add_argument("--precompute_workers", type=int, default=1,
                        help="Row-shard the exact-hop spgemm precompute over "
                             "N worker processes (>1 = distributed path)")
+    group.add_argument("--reorder", choices=["none", "rcm", "cluster"],
+                       default="none",
+                       help="Tile-clustering node permutation applied to all "
+                            "exported tensors (cuts BSR/COO-tile HBM traffic "
+                            "on large graphs); outputs are mapped back to "
+                            "original node order on save")
     parser.function_hooks["argparse"].append(argparse_callback)
 
 
@@ -86,6 +92,8 @@ def preprocessing_data(args, normalized_hops=True):
         norm_type=NType[args.adj_norm_type], backend=args.sparse_backend,
         sparse_features=getattr(args, "sparse_features", False),
         precompute_workers=getattr(args, "precompute_workers", 1),
+        reorder=(None if getattr(args, "reorder", "none") == "none"
+                 else args.reorder),
     )
     if normalized_hops:
         tensors = dataset.get_tensors(get_adj_norm_hops=args.adj_nhood, **kwargs)

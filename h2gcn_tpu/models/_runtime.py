@@ -40,6 +40,25 @@ _OPTIMIZERS = {
 }
 
 
+def _original_order_fn(node_perm):
+    """Map per-node arrays back to original node order for export.
+
+    ``--reorder`` trains in tile-clustered node order (datasets
+    ``get_tensors(reorder=...)``); anything persisted to the run store must
+    be indexed by original node ids, so invert the permutation on the node
+    axis. No-op when no reordering is active.
+    """
+    if node_perm is None:
+        return lambda a: np.asarray(a)
+    inv = np.argsort(np.asarray(node_perm))
+
+    def unperm(a):
+        a = np.asarray(a)
+        return a[inv] if a.shape[:1] == (inv.shape[0],) else a
+
+    return unperm
+
+
 def get_optimizer(name: str, lr: float):
     try:
         return _OPTIMIZERS[name.lower()](lr)
@@ -160,20 +179,21 @@ def initialize_model(args, model, optimizer_name, lr, early_stopping,
 
         if args.use_signac:
             job = args.objects["signac_job"]
+            unperm = _original_order_fn(kwargs.get("node_perm"))
             if save_activations:
                 print("Saving activations to job data storage:")
                 capture = {}
                 model.apply(st["params"], adj, features, adj_hops,
                             training=False, capture=capture)
                 for key, value in capture.items():
-                    job.data[key] = np.asarray(value)
+                    job.data[key] = unperm(value)
                 print(job.workspace())
             if save_predictions:
-                job.data["predicted_prob"] = np.asarray(logits)
+                job.data["predicted_prob"] = unperm(logits)
                 for scope, scope_mask in (
                     ("train", train_mask), ("val", val_mask), ("test", test_mask)
                 ):
-                    job.data[f"{scope}_mask"] = np.asarray(scope_mask)
+                    job.data[f"{scope}_mask"] = unperm(scope_mask)
 
         if args.deg_acc_monitor and verbose:
             for scope, y_scope, scope_mask in (
@@ -438,11 +458,10 @@ def _initialize_distributed(args, model, tx, params, opt_state,
         stats["monitor"] = dict()
         if args.use_signac and save_predictions:
             job = args.objects["signac_job"]
-            job.data["predicted_prob"] = np.asarray(predict_step())
+            unperm = _original_order_fn(tensors.get("node_perm"))
+            job.data["predicted_prob"] = unperm(predict_step())
             for scope in ("train", "val", "test"):
-                job.data[f"{scope}_mask"] = np.asarray(
-                    tensors[f"{scope}_mask"]
-                )
+                job.data[f"{scope}_mask"] = unperm(tensors[f"{scope}_mask"])
         if save_activations:
             print("===> save_activations is not supported with "
                   "--mesh_shards; skipping (run single-chip for the "

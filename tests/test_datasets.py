@@ -138,3 +138,60 @@ def test_sample_masks_and_splits(cora):
     total = cora.train_mask_splits.sum()
     assert total == cora.train_mask.sum()
     assert not (cora.train_mask_splits[0] & cora.train_mask_splits[1]).any()
+
+
+def test_get_tensors_reorder_consistency(cora):
+    """--reorder permutes every exported tensor by ONE node permutation:
+    the reordered export is exactly the natural export re-indexed, so all
+    training math is invariant (layout-only optimization)."""
+    cora.reload_data()
+    cora.row_normalize_features()
+    cora.adj_remove_eye()
+    nat = cora.get_tensors(get_adj_norm_hops=["1", "2"], backend="segment")
+    cora.reload_data()
+    cora.row_normalize_features()
+    cora.adj_remove_eye()
+    t = cora.get_tensors(get_adj_norm_hops=["1", "2"], backend="segment",
+                         reorder="cluster")
+    perm = t.node_perm
+    n = cora.num_samples
+    assert sorted(perm.tolist()) == list(range(n))
+    assert np.array_equal(np.asarray(t.features),
+                          np.asarray(nat.features)[perm])
+    assert np.array_equal(np.asarray(t.labels), np.asarray(nat.labels)[perm])
+    assert np.array_equal(np.asarray(t.train_mask),
+                          np.asarray(nat.train_mask)[perm])
+    assert np.array_equal(np.asarray(t.y_test),
+                          np.asarray(nat.y_test)[perm])
+    for hp, hn in zip(t.adj_hops, nat.adj_hops):
+        want = hn.to_scipy()[perm][:, perm]
+        assert abs(hp.to_scipy() - want).max() < 1e-6
+
+
+def test_reorder_eval_logits_match_natural(cora):
+    """Eval logits under --reorder are the natural logits re-indexed (same
+    params; dense layers are node-order-equivariant, SpMM commutes with
+    P·Pᵀ)."""
+    import jax
+
+    from h2gcn_tpu import nn as h2nn
+
+    cora.reload_data()
+    cora.row_normalize_features()
+    cora.adj_remove_eye()
+    nat = cora.get_tensors(get_adj_norm_hops=["1", "2"], backend="segment")
+    cora.reload_data()
+    cora.row_normalize_features()
+    cora.adj_remove_eye()
+    t = cora.get_tensors(get_adj_norm_hops=["1", "2"], backend="segment",
+                         reorder="cluster")
+    setups = h2nn.parse_network_setup(
+        "M64-R-T1-G-V-C1-D0.5-MO", cora.num_labels,
+        _dense_units=64, _dropout_rate=0.5)
+    model = h2nn.NetworkModel(setups)
+    params = model.init(jax.random.PRNGKey(0), cora.feature_dim, 2)
+    log_nat = np.asarray(model.apply(
+        params, nat.adj, nat.features, nat.adj_hops, training=False))
+    log_per = np.asarray(model.apply(
+        params, t.adj, t.features, t.adj_hops, training=False))
+    assert np.allclose(log_per, log_nat[t.node_perm], atol=1e-5)

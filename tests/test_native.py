@@ -57,3 +57,21 @@ def test_build_ell():
         nbrs = set(csr.indices[csr.indptr[i]:csr.indptr[i + 1]].tolist())
         got = set(table[i][valid[i]].tolist())
         assert got == nbrs
+
+
+def test_rcm_order_matches_scipy_quality():
+    A = _graph(600, density=0.01, seed=3)
+    perm = native.rcm_order(A)
+    assert sorted(perm.tolist()) == list(range(600))
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    ps = np.asarray(reverse_cuthill_mckee(A, symmetric_mode=True))
+
+    def bandwidth(p):
+        Ap = A[p][:, p].tocoo()
+        return int(np.abs(Ap.row - Ap.col).max())
+
+    # same algorithm (min-degree seeds, degree-ordered BFS, reversed), so
+    # the bandwidth should match scipy's to within a small slack from
+    # tie-breaking
+    assert bandwidth(perm) <= bandwidth(ps) * 1.05 + 2

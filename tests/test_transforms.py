@@ -80,3 +80,44 @@ def test_chebyshev_fixed_eigenvalue():
     np.testing.assert_allclose(
         t[2].toarray(), 2 * scaled @ scaled - np.eye(n), atol=1e-4
     )
+
+
+def _zipf_graph(n=4000, m=12000, seed=0):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, m)
+    dst = (rng.zipf(1.6, m) - 1) % n
+    A = sp.coo_matrix(
+        (np.ones(2 * m), (np.r_[src, dst], np.r_[dst, src])), shape=(n, n)
+    ).tocsr()
+    A.setdiag(0)
+    A.eliminate_zeros()
+    A.data[:] = 1
+    return A
+
+
+def _count_tiles(M, perm, tile=512):
+    Mp = M[perm][:, perm].tocoo()
+    ncb = -(-M.shape[1] // tile)
+    return np.unique((Mp.row // tile).astype(np.int64) * ncb
+                     + Mp.col // tile).size
+
+
+def test_cluster_order_is_permutation_and_reduces_tiles():
+    A = _zipf_graph()
+    n = A.shape[0]
+    perm = transforms.cluster_order(A, method="cluster")
+    assert sorted(perm.tolist()) == list(range(n))
+    natural = np.arange(n)
+    # hub extraction + residual RCM must concentrate the zipf tail's edges
+    # into strictly fewer feature tiles than the natural order
+    assert _count_tiles(A, perm) < _count_tiles(A, natural)
+
+
+def test_cluster_order_rcm_method_and_permute_graph():
+    A = _zipf_graph(n=500, m=1500, seed=1)
+    perm = transforms.cluster_order(A, method="rcm")
+    assert sorted(perm.tolist()) == list(range(500))
+    Ap = transforms.permute_graph(A, perm)
+    # P A Pᵀ: entry (i, j) of the permuted matrix equals (perm[i], perm[j])
+    dense, pdense = A.toarray(), Ap.toarray()
+    assert (pdense == dense[np.ix_(perm, perm)]).all()
