@@ -105,15 +105,19 @@ def main():
     nnz_total = a1.nnz + a2.nnz
     report["nnz_hop1"], report["nnz_hop2"] = int(a1.nnz), int(a2.nnz)
 
-    # --- BSR feasibility at this scale (natural vs RCM ordering) ------------
-    from scipy.sparse.csgraph import reverse_cuthill_mckee
-
-    perm = np.asarray(reverse_cuthill_mckee(A, symmetric_mode=True))
+    # --- BSR feasibility at this scale (natural vs RCM vs hub clustering) ---
+    t0 = time.perf_counter()
+    perms = {
+        "rcm": transforms.cluster_order(A, method="rcm"),
+        "cluster": transforms.cluster_order(A, method="cluster"),
+    }
+    report["reorder_s"] = time.perf_counter() - t0
     bsr_stats = {}
-    for name, (m1, m2) in {
-        "natural": (a1, a2),
-        "rcm": (a1[perm][:, perm].tocsr(), a2[perm][:, perm].tocsr()),
-    }.items():
+    ordered = {"natural": (a1, a2)}
+    for name, perm in perms.items():
+        ordered[name] = (transforms.permute_graph(a1, perm),
+                         transforms.permute_graph(a2, perm))
+    for name, (m1, m2) in ordered.items():
         nb = count_bsr_blocks(m1) + count_bsr_blocks(m2)
         payload_gb = nb * 128 * 128 * 2 / 1e9  # bf16
         bsr_stats[name] = {
@@ -123,13 +127,10 @@ def main():
             "feasible": payload_gb <= _BSR_PAYLOAD_BUDGET_GB,
         }
     report["bsr"] = bsr_stats
-    use_rcm = (bsr_stats["rcm"]["feasible"]
-               and not bsr_stats["natural"]["feasible"])
-    bsr_feasible = bsr_stats["rcm"]["feasible"] or bsr_stats["natural"]["feasible"]
-    if use_rcm:
-        a1b, a2b = a1[perm][:, perm].tocsr(), a2[perm][:, perm].tocsr()
-    else:
-        a1b, a2b = a1, a2
+    best_order = min(bsr_stats, key=lambda k: bsr_stats[k]["blocks"])
+    report["bsr_order_used"] = best_order
+    bsr_feasible = bsr_stats[best_order]["feasible"]
+    a1b, a2b = ordered[best_order]
 
     # --- single-chip aggregation --------------------------------------------
     if not args.skip_tpu:
@@ -154,27 +155,38 @@ def main():
         sol["segment/f32"] = sum(
             spmm_bytes("segment", "f32", m, args.n, args.features)
             for m in (a1, a2)) / bw
-        # COO-tile kernel: the payload-free at-scale path (pallas_cootile)
+        # COO-tile kernel: the payload-free at-scale path (pallas_cootile),
+        # in natural order and under the hub-clustering reorder (the kernel
+        # pays one x-tile HBM read per visited tile, so the reorder's tile
+        # reduction is direct HBM traffic savings)
         t0 = time.perf_counter()
         c1 = SparseMatrix.from_scipy(a1, backend="cootile")
         c2 = SparseMatrix.from_scipy(a2, backend="cootile")
         report["cootile_build_s"] = time.perf_counter() - t0
-        for tag, prec in (("f32", "highest"), ("bf16", "default")):
-            c1p, c2p = c1.replace(precision=prec), c2.replace(precision=prec)
-            fns[f"cootile/{tag}"] = (
-                lambda c1p=c1p, c2p=c2p: agg(c1p, c2p, x))
-            # roofline: edge chunks + one x tile per visited tile + out
-            coot_bytes = 0.0
-            for cm, asp in ((c1, a1), (c2, a2)):
-                nch = sum(s.ctr.shape[0] for s in cm.coot.segments)
-                tiles = len(np.unique(
-                    (asp.tocoo().row // cm.coot.tile).astype(np.int64)
-                    * (-(-args.n // cm.coot.tile))
-                    + asp.tocoo().col // cm.coot.tile))
-                coot_bytes += (nch * cm.coot.e_b * 12
-                               + tiles * cm.coot.tile * 128 * 4
-                               + args.n * args.features * 4)
-            sol[f"cootile/{tag}"] = coot_bytes / bw
+        cc1 = SparseMatrix.from_scipy(ordered["cluster"][0],
+                                      backend="cootile")
+        cc2 = SparseMatrix.from_scipy(ordered["cluster"][1],
+                                      backend="cootile")
+        for label, (k1, k2), (p1, p2) in (
+            ("cootile", (c1, c2), (a1, a2)),
+            ("cootile-cluster", (cc1, cc2), ordered["cluster"]),
+        ):
+            for tag, prec in (("f32", "highest"), ("bf16", "default")):
+                k1p, k2p = k1.replace(precision=prec), k2.replace(precision=prec)
+                fns[f"{label}/{tag}"] = (
+                    lambda k1p=k1p, k2p=k2p: agg(k1p, k2p, x))
+                # roofline: edge chunks + one x tile per visited tile + out
+                coot_bytes = 0.0
+                for cm, asp in ((k1, p1), (k2, p2)):
+                    nch = sum(s.ctr.shape[0] for s in cm.coot.segments)
+                    tiles = len(np.unique(
+                        (asp.tocoo().row // cm.coot.tile).astype(np.int64)
+                        * (-(-args.n // cm.coot.tile))
+                        + asp.tocoo().col // cm.coot.tile))
+                    coot_bytes += (nch * cm.coot.e_b * 12
+                                   + tiles * cm.coot.tile * 128 * 4
+                                   + args.n * args.features * 4)
+                sol[f"{label}/{tag}"] = coot_bytes / bw
         if bsr_feasible:
             for tag, kw in (("f32", {}), ("bf16",
                                           dict(payload_dtype="bfloat16",
