@@ -114,6 +114,17 @@ def spmm_bytes(backend, tag, a_sp, n, f, feature_tile=128):
         nb = np.unique((coo.row // B).astype(np.int64) * ncb
                        + coo.col // B).size
         return nb * B * B * payload_item + nb * B * feature_tile * x_item + out_bytes
+    if backend == "cootile":
+        # edge chunks (12B/slot incl. padding) + one x tile per visited
+        # tile + the output write
+        tile = 512
+        coo = a_sp.tocoo()
+        ncb = -(-a_sp.shape[1] // tile)
+        keys = (coo.row // tile).astype(np.int64) * ncb + coo.col // tile
+        uniq, counts = np.unique(keys, return_counts=True)
+        chunks = int(np.sum(-(-counts // 512)))
+        return (chunks * 512 * 12 + uniq.size * tile * feature_tile * 4
+                + out_bytes)
     # segment: edge vals + per-edge gather of an f-wide row + scatter-accum
     return a_sp.nnz * (4 + f * 4 + f * 4) + out_bytes
 
@@ -154,7 +165,7 @@ def main():
              "tpu_generation": gen}
 
     # --- aggregation edges/s per backend -----------------------------------
-    backends = (["dense", "bsr", "segment"] if platform == "tpu"
+    backends = (["dense", "bsr", "cootile", "segment"] if platform == "tpu"
                 else ["segment", "dense"])
     # matrices are jit ARGUMENTS (not closure constants) so the compiled
     # program stays small — closure capture bakes the payload into the HLO,
@@ -168,6 +179,9 @@ def main():
         for tag, kw in configs:
             if backend == "segment" and tag == "bf16":
                 continue  # segment path has no payload cache
+            if backend == "cootile" and tag == "bf16":
+                # bf16 mode = precision "default" on the same payload
+                kw = dict(precision="default", payload_dtype="float32")
             try:
                 m1 = SparseMatrix.from_scipy(a1, backend=backend, **kw)
                 m2 = SparseMatrix.from_scipy(a2, backend=backend, **kw)
