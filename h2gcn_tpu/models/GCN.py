@@ -127,6 +127,11 @@ def add_subparser_args(parser):
     group.add_argument("--sparse_backend",
                        choices=["auto", "dense", "bsr", "cootile", "segment"],
                        default="auto")
+    group.add_argument("--reorder", choices=["none", "rcm", "cluster"],
+                       default="none",
+                       help="Tile-clustering node permutation (see H2GCN "
+                            "--reorder); layout-only, outputs restored to "
+                            "original node order on save")
     parser.function_hooks["argparse"].append(argparse_callback)
 
 
@@ -189,6 +194,11 @@ def build_layer_setups(variant, hidden, dropout, num_labels):
     raise ValueError(f"unknown GCN variant {variant}")
 
 
+def _reorder(args):
+    r = getattr(args, "reorder", "none")
+    return None if r in (None, "none") else r
+
+
 def argparse_callback(args):
     dataset = args.objects["dataset"]
     if args.variant == "bp":
@@ -197,7 +207,8 @@ def argparse_callback(args):
             transforms.normalize(dataset.sparse_adj, NType.RW_NORMALIZED)
         ]
         tensors = dataset.get_tensors(supports=supports,
-                                      backend=args.sparse_backend)
+                                      backend=args.sparse_backend,
+                                      reorder=_reorder(args))
         args.objects["tensors"] = vars(tensors)
         model = BeliefPropagationNetwork(dataset.num_labels,
                                          homophily=args.bp_homophily)
@@ -221,7 +232,8 @@ def argparse_callback(args):
             )
         ]
     tensors = dataset.get_tensors(
-        supports=supports, backend=args.sparse_backend
+        supports=supports, backend=args.sparse_backend,
+        reorder=_reorder(args),
     )
     args.objects["tensors"] = vars(tensors)
 

@@ -269,6 +269,11 @@ def add_subparser_args(parser):
     group.add_argument("--sparse_backend",
                        choices=["auto", "dense", "bsr", "cootile", "segment"],
                        default="auto")
+    group.add_argument("--reorder", choices=["none", "rcm", "cluster"],
+                       default="none",
+                       help="Tile-clustering node permutation (see H2GCN "
+                            "--reorder); layout-only, outputs restored to "
+                            "original node order on save")
     parser.function_hooks["argparse"].append(argparse_callback)
 
 
@@ -279,8 +284,10 @@ def argparse_callback(args):
     support = transforms.normalize(
         transforms.add_eye(dataset.sparse_adj), NType.SYM_NORMALIZED
     )
-    tensors = dataset.get_tensors(supports=[support],
-                                  backend=args.sparse_backend)
+    tensors = dataset.get_tensors(
+        supports=[support], backend=args.sparse_backend,
+        reorder=(None if getattr(args, "reorder", "none") == "none"
+                 else args.reorder))
     args.objects["tensors"] = vars(tensors)
 
     if args.architecture:
