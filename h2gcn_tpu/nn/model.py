@@ -48,10 +48,12 @@ def _aggregate(a, x):
     """SpMM dispatch: single-chip SparseMatrix or shard_map-local shard."""
     from ..parallel.dist import (
         DistSparseMatrix,
+        HaloCooTileMatrix,
         HaloShardedMatrix,
         RingShardedMatrix,
         dist_spmm,
         dist_spmm_halo,
+        dist_spmm_halo_cootile,
         dist_spmm_ring,
     )
 
@@ -61,6 +63,8 @@ def _aggregate(a, x):
         return dist_spmm_ring(a, x)
     if isinstance(a, HaloShardedMatrix):
         return dist_spmm_halo(a, x)
+    if isinstance(a, HaloCooTileMatrix):
+        return dist_spmm_halo_cootile(a, x)
     return spmm(a, x)
 
 

@@ -398,6 +398,188 @@ def dist_spmm_halo(hsm: HaloShardedMatrix, x_local: jax.Array) -> jax.Array:
     )
 
 
+@struct.dataclass
+class CooTileTables:
+    """Stacked (or shard-local) single-segment COO-tile chunk tables.
+
+    Host-built with a leading device axis on every array leaf
+    (``[D, C]`` / ``[D, C, E_B]``); ``local()`` drops it inside shard_map.
+    """
+
+    ctr: jax.Array   # [D, C] int32 tile-row per chunk (nondecreasing)
+    ctc: jax.Array   # [D, C] int32 tile-col per chunk
+    rows: jax.Array  # [D, C, E_B] int32 tile-local dest rows
+    cols: jax.Array  # [D, C, E_B] int32 tile-local src cols
+    vals: jax.Array  # [D, C, E_B] float32
+    n_rb: int = struct.field(pytree_node=False)
+    n_rows: int = struct.field(pytree_node=False)
+    n_cols: int = struct.field(pytree_node=False)
+    tile: int = struct.field(pytree_node=False)
+    e_b: int = struct.field(pytree_node=False)
+
+    def local(self) -> "CooTileTables":
+        return self.replace(ctr=self.ctr[0], ctc=self.ctc[0],
+                            rows=self.rows[0], cols=self.cols[0],
+                            vals=self.vals[0])
+
+
+def _ct_run(tb: CooTileTables, x: jax.Array) -> jax.Array:
+    """Run the COO-tile Pallas kernel on shard-local chunk tables."""
+    from ..sparse.pallas_cootile import CooTile, CooTileSegment, cootile_spmm
+
+    seg = CooTileSegment(ctr=tb.ctr, ctc=tb.ctc, rows=tb.rows, cols=tb.cols,
+                         vals=tb.vals, rb_lo=0, rb_hi=tb.n_rb)
+    ct = CooTile(segments=(seg,), tile=tb.tile, e_b=tb.e_b,
+                 n_rows=tb.n_rows, n_cols=tb.n_cols)
+    # Pallas needs an accelerator; the CPU test mesh runs interpret mode
+    return cootile_spmm(ct, x, precision="highest",
+                        interpret=jax.default_backend() not in ("tpu", "gpu"))
+
+
+@jax.custom_vjp
+def _ct_pair_spmm(fwd_tb: CooTileTables, bwd_tb: CooTileTables,
+                  x: jax.Array) -> jax.Array:
+    """``A_local @ x`` through the COO-tile kernel, differentiable in ``x``
+    (cotangent ``A_localᵀ @ g`` through the pre-built transpose tables —
+    same custom-VJP shape as :func:`h2gcn_tpu.sparse.matrix.spmm`)."""
+    return _ct_run(fwd_tb, x)
+
+
+def _ct_pair_fwd(fwd_tb, bwd_tb, x):
+    return _ct_run(fwd_tb, x), (fwd_tb, bwd_tb)
+
+
+def _ct_pair_bwd(res, g):
+    fwd_tb, bwd_tb = res
+    dx = _ct_run(bwd_tb, g)
+    return (jax.tree_util.tree_map(jnp.zeros_like, fwd_tb),
+            jax.tree_util.tree_map(jnp.zeros_like, bwd_tb), dx)
+
+
+_ct_pair_spmm.defvjp(_ct_pair_fwd, _ct_pair_bwd)
+
+
+@struct.dataclass
+class HaloCooTileMatrix:
+    """Halo-sharded matrix whose local reduces run on the MXU.
+
+    Same partition + boundary all_to_all as :class:`HaloShardedMatrix`, but
+    the interior and halo edge sets are stored as COO-tile chunk tables
+    (pallas_cootile.py) instead of flat gather/segment-sum COO — each
+    device's local aggregation densifies its edge chunks on the MXU, so the
+    distributed path inherits the blocked kernel's edges/s instead of the
+    segment fallback's. Transposed tables ride along for the custom VJP.
+    """
+
+    send_idx: jax.Array          # [D(owner), D(dest), H] int32
+    int_fwd: CooTileTables       # [n_local, n_local] interior edges
+    int_bwd: CooTileTables       # interiorᵀ
+    halo_fwd: CooTileTables      # [n_local, D·H] over the recv buffer
+    halo_bwd: CooTileTables      # haloᵀ: [D·H, n_local]
+    n_local: int = struct.field(pytree_node=False)
+    n_global: int = struct.field(pytree_node=False)
+    halo: int = struct.field(pytree_node=False)
+    axis: str = struct.field(pytree_node=False, default=GRAPH_AXIS)
+
+    def local(self) -> "HaloCooTileMatrix":
+        return self.replace(
+            send_idx=self.send_idx[0],
+            int_fwd=self.int_fwd.local(), int_bwd=self.int_bwd.local(),
+            halo_fwd=self.halo_fwd.local(), halo_bwd=self.halo_bwd.local(),
+        )
+
+
+def _stack_chunk_tables(mats, tile, e_b) -> CooTileTables:
+    """Per-shard scipy matrices → uniform stacked chunk tables.
+
+    Chunk counts differ per shard; pad every shard to the max (rounded to a
+    multiple of 8 for the 8-chunk DMA blocks) with chunks parked on the last
+    tile row carrying zero values — the same fill rule as build_cootile's
+    segment padding, so they accumulate nothing."""
+    from ..sparse.pallas_cootile import _MAX_CHUNKS, build_chunk_tables
+
+    per = [build_chunk_tables(m, tile, e_b) for m in mats]
+    n_rb = per[0][5]
+    cmax = max(len(p[0]) for p in per)
+    cmax = int(math.ceil(cmax / 8)) * 8
+    if cmax > _MAX_CHUNKS:
+        raise ValueError(
+            f"halo-cootile shard needs {cmax} chunks (> {_MAX_CHUNKS} SMEM "
+            "budget) — raise e_b, use more shards, or mode='halo'")
+    ctr = np.full((len(per), cmax), n_rb - 1, np.int32)
+    ctc = np.zeros((len(per), cmax), np.int32)
+    rows = np.zeros((len(per), cmax, e_b), np.int32)
+    cols = np.zeros((len(per), cmax, e_b), np.int32)
+    vals = np.zeros((len(per), cmax, e_b), np.float32)
+    for d, (tr, tc, r, c, v, rb) in enumerate(per):
+        assert rb == n_rb
+        k = len(tr)
+        ctr[d, :k], ctc[d, :k] = tr, tc
+        rows[d, :k], cols[d, :k], vals[d, :k] = r, c, v
+    n, m = mats[0].shape
+    return CooTileTables(
+        ctr=jnp.asarray(ctr), ctc=jnp.asarray(ctc), rows=jnp.asarray(rows),
+        cols=jnp.asarray(cols), vals=jnp.asarray(vals),
+        n_rb=n_rb, n_rows=n, n_cols=m, tile=tile, e_b=e_b,
+    )
+
+
+def shard_matrix_halo_cootile(
+    mat, num_shards: int, axis: str = GRAPH_AXIS,
+    tile: int = 512, e_b: int = 512,
+) -> Tuple[HaloCooTileMatrix, int]:
+    """Halo partition (:func:`shard_matrix_halo`) re-expressed as COO-tile
+    chunk tables so the local reduces run on the MXU."""
+    import scipy.sparse as sp
+
+    hsm, n_pad = shard_matrix_halo(mat, num_shards, axis)
+    D = num_shards
+    n_local, h_pad = hsm.n_local, hsm.halo
+
+    def to_csr(rows, cols, vals, shape):
+        m = sp.coo_matrix(
+            (np.asarray(vals), (np.asarray(rows), np.asarray(cols))),
+            shape=shape).tocsr()
+        m.eliminate_zeros()  # padding slots carry explicit zeros
+        return m
+
+    ints, halos = [], []
+    for d in range(D):
+        ints.append(to_csr(hsm.rows_int[d], hsm.cols_int[d], hsm.vals_int[d],
+                           (n_local, n_local)))
+        halos.append(to_csr(hsm.rows_halo[d], hsm.cols_halo[d],
+                            hsm.vals_halo[d], (n_local, D * h_pad)))
+    return (
+        HaloCooTileMatrix(
+            send_idx=hsm.send_idx,
+            int_fwd=_stack_chunk_tables(ints, tile, e_b),
+            int_bwd=_stack_chunk_tables(
+                [sp.csr_matrix(m.T) for m in ints], tile, e_b),
+            halo_fwd=_stack_chunk_tables(halos, tile, e_b),
+            halo_bwd=_stack_chunk_tables(
+                [sp.csr_matrix(m.T) for m in halos], tile, e_b),
+            n_local=n_local, n_global=hsm.n_global, halo=h_pad, axis=axis,
+        ),
+        n_pad,
+    )
+
+
+def dist_spmm_halo_cootile(hcm: HaloCooTileMatrix,
+                           x_local: jax.Array) -> jax.Array:
+    """``A @ x`` with boundary-only exchange and MXU-blocked local reduces.
+
+    Same schedule as :func:`dist_spmm_halo` — launch the all_to_all, reduce
+    interior edges (independent of the exchange, so XLA hides the
+    collective under it), then reduce halo edges from the recv buffer —
+    with both reduces on the COO-tile Pallas kernel."""
+    send = x_local[hcm.send_idx]  # [D, H, F]
+    recv = jax.lax.all_to_all(send, hcm.axis, split_axis=0, concat_axis=0)
+
+    out = _ct_pair_spmm(hcm.int_fwd, hcm.int_bwd, x_local)
+    flat = recv.reshape(-1, x_local.shape[-1])  # [D*H, F]
+    return out + _ct_pair_spmm(hcm.halo_fwd, hcm.halo_bwd, flat)
+
+
 def pad_nodes(arr: np.ndarray, n_pad: int) -> np.ndarray:
     """Zero-pad the leading (node) axis to ``n_pad``."""
     if arr.shape[0] == n_pad:
@@ -414,10 +596,13 @@ def shard_hops(mats: List, num_shards: int, axis: str = GRAPH_AXIS,
     ``mode='ring'`` → :class:`RingShardedMatrix` (ppermute ring with
     comm/compute overlap, O(n_local·F) peak memory);
     ``mode='halo'`` → :class:`HaloShardedMatrix` (boundary-only all_to_all,
-    comm volume scales with the halo, not the graph).
+    comm volume scales with the halo, not the graph);
+    ``mode='halo-cootile'`` → :class:`HaloCooTileMatrix` (same exchange,
+    local reduces on the COO-tile MXU kernel).
     """
     builder = {"allgather": shard_matrix, "ring": shard_matrix_ring,
-               "halo": shard_matrix_halo}[mode]
+               "halo": shard_matrix_halo,
+               "halo-cootile": shard_matrix_halo_cootile}[mode]
     out = []
     n_pad = None
     for m in mats:

@@ -47,7 +47,8 @@ def main(argv=None):
                         help="Train distributed over an N-device mesh "
                              "(node-sharded activations, edge-partitioned "
                              "SpMM)")
-    parser.add_argument("--halo_mode", choices=["ring", "allgather", "halo"],
+    parser.add_argument("--halo_mode",
+                        choices=["ring", "allgather", "halo", "halo-cootile"],
                         default="ring", dest="_halo_mode",
                         help="Boundary-feature exchange strategy for "
                              "distributed SpMM")

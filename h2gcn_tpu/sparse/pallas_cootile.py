@@ -58,11 +58,15 @@ class CooTile:
     n_cols: int = struct.field(pytree_node=False)
 
 
-def build_cootile(csr, tile: int = 512, e_b: int = 512) -> CooTile:
-    """Host prep (fully vectorized): sort edges by (tile_row, tile_col),
-    chunk to fixed E_B groups, add filler chunks so every tile row
-    initializes its output block, segment for the SMEM budget, and stage
-    everything on device ONCE."""
+def build_chunk_tables(csr, tile: int = 512, e_b: int = 512):
+    """Host prep (fully vectorized, numpy-only): sort edges by
+    (tile_row, tile_col), chunk to fixed ``E_B`` groups, and add filler
+    chunks so every tile row initializes its output block.
+
+    Returns ``(ctr, ctc, rows, cols, vals, n_rb)`` with ``rows/cols/vals``
+    of shape ``[nchunks, e_b]`` — the raw single-segment chunk tables used
+    by :func:`build_cootile` (which also SMEM-segments them) and by the
+    distributed halo-cootile builder (which stacks them per shard)."""
     import scipy.sparse as sp
 
     csr = sp.csr_matrix(csr)
@@ -113,6 +117,18 @@ def build_cootile(csr, tile: int = 512, e_b: int = 512) -> CooTile:
     rows = rows.reshape(total, e_b)[order2]
     cols = cols.reshape(total, e_b)[order2]
     vals = vals.reshape(total, e_b)[order2]
+    return ctr, ctc, rows, cols, vals, n_rb
+
+
+def build_cootile(csr, tile: int = 512, e_b: int = 512) -> CooTile:
+    """Chunk tables (:func:`build_chunk_tables`) → SMEM-budget segments,
+    staged on device ONCE."""
+    import scipy.sparse as sp
+
+    csr = sp.csr_matrix(csr)
+    n, m = csr.shape
+    ctr, ctc, rows, cols, vals, _ = build_chunk_tables(csr, tile, e_b)
+    total = len(ctr)
 
     # segments: <= _MAX_CHUNKS each, cut only at tile-row boundaries,
     # padded to a multiple of 8 chunks (edge blocks are DMA'd 8 at a time)

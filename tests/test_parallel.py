@@ -360,3 +360,66 @@ def test_halo_self_rows_never_travel(problem):
     send = np.asarray(shard.send_idx)
     for d in range(8):
         np.testing.assert_array_equal(send[d, d], 0)
+
+
+def test_halo_cootile_dist_spmm_matches_scipy(problem):
+    """MXU-blocked halo mode: local COO-tile reduces + boundary all_to_all
+    reproduce the scipy product (kernel in interpret mode on the CPU mesh)."""
+    mesh = make_mesh(8)
+    for m in problem["mats"]:
+        shard, n_pad = dist.shard_matrix_halo_cootile(m, 8, tile=64, e_b=64)
+        x = dist.pad_nodes(problem["x"], n_pad)
+
+        def body(sh, x_local):
+            return dist.dist_spmm_halo_cootile(sh.local(), x_local)
+
+        f = jax.jit(
+            jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(jax.tree_util.tree_map(lambda _: P("graph"), shard),
+                          P("graph")),
+                out_specs=P("graph"),
+                check_vma=False,
+            )
+        )
+        y = np.asarray(f(shard, jnp.asarray(x)))[: problem["n"]]
+        np.testing.assert_allclose(y, m @ problem["x"], rtol=1e-5, atol=1e-5)
+
+
+def test_halo_cootile_train_matches_single_chip(problem):
+    """Distributed train step over halo-cootile shards == single-chip step
+    (gradients flow through the kernel's custom VJP transpose tables)."""
+    p = problem
+    mesh = make_mesh(8)
+    conf = parse_network_setup("M16-R-T1-G-V-C1-MO", p["c"], _dense_units=16)
+    model = NetworkModel(conf, l2_regularize_weight=5e-4)
+    params = model.init(jax.random.PRNGKey(0), p["f"], 2)
+    tx = optax.sgd(0.5)
+    opt_state = tx.init(params)
+
+    hop_shards, n_pad = dist.shard_hops(p["mats"], 8, mode="halo-cootile")
+    train_step, _ = ptrain.build_dist_steps(model, tx, mesh, hop_shards)
+    shard = NamedSharding(mesh, P("graph"))
+    xd = jax.device_put(jnp.asarray(dist.pad_nodes(p["x"], n_pad)), shard)
+    yd = jax.device_put(jnp.asarray(dist.pad_nodes(p["y"], n_pad)), shard)
+    md = jax.device_put(jnp.asarray(dist.pad_nodes(p["mask"], n_pad)), shard)
+    new_params, _, loss = train_step(
+        params, opt_state, jax.random.PRNGKey(1), xd, yd, md
+    )
+
+    ah = [SparseMatrix.from_scipy(m, backend="segment") for m in p["mats"]]
+
+    def loss_fn(pp):
+        logits = model.apply(pp, ah[0], jnp.asarray(p["x"]), ah)
+        return model.loss(pp, logits, jnp.asarray(p["y"]),
+                          jnp.asarray(p["mask"]))
+
+    loss_ref, grads_ref = jax.value_and_grad(loss_fn)(params)
+    ref_params = optax.apply_updates(
+        params, tx.update(grads_ref, opt_state, params)[0]
+    )
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(new_params),
+                    jax.tree_util.tree_leaves(ref_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5)
