@@ -107,9 +107,10 @@ def main():
 
     # --- BSR feasibility at this scale (natural vs RCM vs hub clustering) ---
     t0 = time.perf_counter()
+    union = ((a1 + a2) > 0).astype(np.float32)  # what aggregation touches
     perms = {
-        "rcm": transforms.cluster_order(A, method="rcm"),
-        "cluster": transforms.cluster_order(A, method="cluster"),
+        "rcm": transforms.cluster_order(union, method="rcm"),
+        "cluster": transforms.cluster_order(union, method="cluster"),
     }
     report["reorder_s"] = time.perf_counter() - t0
     bsr_stats = {}

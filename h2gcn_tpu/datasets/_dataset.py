@@ -336,16 +336,82 @@ class PlanetoidData:
         ``reorder`` ("rcm" | "cluster") applies a tile-clustering node
         permutation to every exported tensor (graph, features, labels,
         masks) so the blocked SpMM backends touch fewer tiles; the
-        permutation is exported as ``t.node_perm`` and saved predictions /
-        activations are mapped back to original node order by the runtime.
-        Order-insensitive for training math — purely a layout optimization
-        (no reference analogue; scipy SpMM has no tile structure).
+        permutation is computed on the union pattern of the matrices the
+        model will actually aggregate over (hop matrices / supports — not
+        the raw adjacency), exported as ``t.node_perm``, and saved
+        predictions / activations are mapped back to original node order by
+        the runtime. Order-insensitive for training math — purely a layout
+        optimization (no reference analogue; scipy SpMM has no tile
+        structure).
         """
         import jax.numpy as jnp
 
+        def _hop_groups(spec):
+            return [[int(x) for x in elem.split(",")] for elem in spec]
+
+        def _pad_splits(splits, kmax):
+            # nhood_split terminates early when reachability saturates
+            # (transforms.py); missing exact-hop levels are empty matrices
+            # (no node has a neighbor at that exact distance). The reference
+            # would crash with IndexError here (_dataset.py:571) — padding
+            # with zero matrices is the correct semantics.
+            n = self.num_samples
+            while len(splits) < kmax + 1:
+                splits.append(sp.csr_matrix((n, n), dtype=splits[0].dtype))
+            return splits
+
+        # ---- host-side assembly (scipy) — everything the permutation must
+        # see is built BEFORE any device export
+        hops_unnorm = None
+        if get_adj_hops:
+            groups = _hop_groups(get_adj_hops)
+            kmax = max(chain(*groups))
+            n = self.num_samples
+            if n * n * len(groups) > self._DENSE_FEATURE_GUARD:
+                # unnormalized hops export a dense [n, G, n] stack (the
+                # reference's getAdjHops semantics) — refuse past the guard
+                # instead of a silent multi-GB materialization
+                raise ValueError(
+                    f"get_adj_hops would materialize a dense "
+                    f"[{n}, {len(groups)}, {n}] stack "
+                    f"({n * n * len(groups):,} elements) — use the "
+                    "normalized sparse hop pipeline (get_adj_norm_hops) "
+                    "at this scale")
+            splits = _pad_splits(
+                transforms.nhood_split(self.sparse_adj, kmax,
+                                       n_workers=precompute_workers), kmax
+            )
+            hops_unnorm = [sum(splits[i] for i in g) for g in groups]
+        normed = None
+        if get_adj_norm_hops:
+            groups = _hop_groups(get_adj_norm_hops)
+            kmax = max(chain(*groups))
+            if norm_type == NType.CHEBY:
+                splits = transforms.chebyshev_polynomials(
+                    self.sparse_adj, kmax, eigenvalue=2
+                )
+                normed = [sum(splits[i] for i in g) for g in groups]
+            else:
+                splits = _pad_splits(
+                    transforms.nhood_split(self.sparse_adj, kmax,
+                                           n_workers=precompute_workers),
+                    kmax,
+                )
+                summed = [sum(splits[i] for i in g) for g in groups]
+                normed = [transforms.normalize(m, norm_type) for m in summed]
+
         perm = None
         if reorder:
-            perm = transforms.cluster_order(self.sparse_adj, method=reorder)
+            parts = (normed if normed is not None
+                     else list(supports) if supports is not None
+                     else hops_unnorm)
+            if parts:
+                pattern = sum(
+                    (abs(sp.csr_matrix(p)) for p in parts[1:]),
+                    abs(sp.csr_matrix(parts[0])))
+            else:
+                pattern = self.sparse_adj
+            perm = transforms.cluster_order(pattern, method=reorder)
 
         def _permuted(m):
             return transforms.permute_graph(m, perm) if perm is not None else m
@@ -374,66 +440,19 @@ class PlanetoidData:
                 feats_np = feats_np[perm]
             t.features = jnp.asarray(feats_np)
 
-        def _hop_groups(spec):
-            return [[int(x) for x in elem.split(",")] for elem in spec]
-
-        def _pad_splits(splits, kmax):
-            # nhood_split terminates early when reachability saturates
-            # (transforms.py); missing exact-hop levels are empty matrices
-            # (no node has a neighbor at that exact distance). The reference
-            # would crash with IndexError here (_dataset.py:571) — padding
-            # with zero matrices is the correct semantics.
-            n = self.num_samples
-            while len(splits) < kmax + 1:
-                splits.append(sp.csr_matrix((n, n), dtype=splits[0].dtype))
-            return splits
-
         if supports is not None:
             t.adj_hops = [
                 SparseMatrix.from_scipy(_permuted(m).astype(dtype),
                                         backend=backend)
                 for m in supports
             ]
-        if get_adj_hops:
-            groups = _hop_groups(get_adj_hops)
-            kmax = max(chain(*groups))
-            n = self.num_samples
-            if n * n * len(groups) > self._DENSE_FEATURE_GUARD:
-                # unnormalized hops export a dense [n, G, n] stack (the
-                # reference's getAdjHops semantics) — refuse past the guard
-                # instead of a silent multi-GB materialization
-                raise ValueError(
-                    f"get_adj_hops would materialize a dense "
-                    f"[{n}, {len(groups)}, {n}] stack "
-                    f"({n * n * len(groups):,} elements) — use the "
-                    "normalized sparse hop pipeline (get_adj_norm_hops) "
-                    "at this scale")
-            splits = _pad_splits(
-                transforms.nhood_split(self.sparse_adj, kmax,
-                                       n_workers=precompute_workers), kmax
-            )
+        if hops_unnorm is not None:
             merged = np.stack(
-                [np.asarray(_permuted(sum(splits[i] for i in g)).todense())
-                 for g in groups],
+                [np.asarray(_permuted(m).todense()) for m in hops_unnorm],
                 axis=1,
             )
             t.adj_hops = jnp.asarray(merged.astype(dtype))
-        if get_adj_norm_hops:
-            groups = _hop_groups(get_adj_norm_hops)
-            kmax = max(chain(*groups))
-            if norm_type == NType.CHEBY:
-                splits = transforms.chebyshev_polynomials(
-                    self.sparse_adj, kmax, eigenvalue=2
-                )
-                normed = [sum(splits[i] for i in g) for g in groups]
-            else:
-                splits = _pad_splits(
-                    transforms.nhood_split(self.sparse_adj, kmax,
-                                           n_workers=precompute_workers),
-                    kmax,
-                )
-                summed = [sum(splits[i] for i in g) for g in groups]
-                normed = [transforms.normalize(m, norm_type) for m in summed]
+        if normed is not None:
             t.adj_hops = [
                 SparseMatrix.from_scipy(_permuted(m).astype(dtype),
                                         backend=backend)

@@ -501,6 +501,7 @@ def _stack_chunk_tables(mats, tile, e_b) -> CooTileTables:
     per = [build_chunk_tables(m, tile, e_b) for m in mats]
     n_rb = per[0][5]
     cmax = max(len(p[0]) for p in per)
+    assert all(p[6] == e_b for p in per)
     cmax = int(math.ceil(cmax / 8)) * 8
     if cmax > _MAX_CHUNKS:
         raise ValueError(
@@ -511,7 +512,7 @@ def _stack_chunk_tables(mats, tile, e_b) -> CooTileTables:
     rows = np.zeros((len(per), cmax, e_b), np.int32)
     cols = np.zeros((len(per), cmax, e_b), np.int32)
     vals = np.zeros((len(per), cmax, e_b), np.float32)
-    for d, (tr, tc, r, c, v, rb) in enumerate(per):
+    for d, (tr, tc, r, c, v, rb, _eb) in enumerate(per):
         assert rb == n_rb
         k = len(tr)
         ctr[d, :k], ctc[d, :k] = tr, tc

@@ -38,6 +38,19 @@ F_TILE = 128
 _MAX_CHUNKS = 64 * 1024  # scalar-prefetch budget: 8B/chunk, SMEM ~1MB
 
 
+def _auto_e_b(coo, tile: int, ncb: int) -> int:
+    """Chunk size from mean edges per visited tile (≤50% padding target)."""
+    if coo.nnz == 0:
+        return 128
+    n_tiles = np.unique((coo.row // tile).astype(np.int64) * ncb
+                        + coo.col // tile).size
+    mean = coo.nnz / max(n_tiles, 1)
+    for cand in (128, 256):
+        if mean <= cand * 1.5:
+            return cand
+    return 512
+
+
 @struct.dataclass
 class CooTileSegment:
     ctr: jax.Array   # [nchunks] int32 tile-row (relative to rb_lo)
@@ -58,15 +71,21 @@ class CooTile:
     n_cols: int = struct.field(pytree_node=False)
 
 
-def build_chunk_tables(csr, tile: int = 512, e_b: int = 512):
+def build_chunk_tables(csr, tile: int = 512, e_b: int | None = 512):
     """Host prep (fully vectorized, numpy-only): sort edges by
     (tile_row, tile_col), chunk to fixed ``E_B`` groups, and add filler
     chunks so every tile row initializes its output block.
 
-    Returns ``(ctr, ctc, rows, cols, vals, n_rb)`` with ``rows/cols/vals``
-    of shape ``[nchunks, e_b]`` — the raw single-segment chunk tables used
-    by :func:`build_cootile` (which also SMEM-segments them) and by the
-    distributed halo-cootile builder (which stacks them per shard)."""
+    ``e_b=None`` auto-sizes the chunk to the graph's tile density: on
+    hyper-sparse regimes (huge graphs where the mean visited tile holds
+    ~100 edges) a 512-edge chunk is ~80% padding — per-edge MXU FLOPs are
+    e_b-independent, so a smaller chunk only removes wasted work.
+
+    Returns ``(ctr, ctc, rows, cols, vals, n_rb, e_b)`` with
+    ``rows/cols/vals`` of shape ``[nchunks, e_b]`` — the raw single-segment
+    chunk tables used by :func:`build_cootile` (which also SMEM-segments
+    them) and by the distributed halo-cootile builder (which stacks them
+    per shard)."""
     import scipy.sparse as sp
 
     csr = sp.csr_matrix(csr)
@@ -74,6 +93,8 @@ def build_chunk_tables(csr, tile: int = 512, e_b: int = 512):
     n, m = csr.shape
     n_rb = -(-n // tile)
     ncb = -(-m // tile)
+    if e_b is None:
+        e_b = _auto_e_b(coo, tile, ncb)
 
     # one flat (tile_row, tile_col) key; intra-tile edge order is
     # irrelevant to the kernel (chunks accumulate), so a single argsort
@@ -117,17 +138,17 @@ def build_chunk_tables(csr, tile: int = 512, e_b: int = 512):
     rows = rows.reshape(total, e_b)[order2]
     cols = cols.reshape(total, e_b)[order2]
     vals = vals.reshape(total, e_b)[order2]
-    return ctr, ctc, rows, cols, vals, n_rb
+    return ctr, ctc, rows, cols, vals, n_rb, e_b
 
 
-def build_cootile(csr, tile: int = 512, e_b: int = 512) -> CooTile:
-    """Chunk tables (:func:`build_chunk_tables`) → SMEM-budget segments,
-    staged on device ONCE."""
+def build_cootile(csr, tile: int = 512, e_b: int | None = None) -> CooTile:
+    """Chunk tables (:func:`build_chunk_tables`, auto-sized ``e_b`` by
+    default) → SMEM-budget segments, staged on device ONCE."""
     import scipy.sparse as sp
 
     csr = sp.csr_matrix(csr)
     n, m = csr.shape
-    ctr, ctc, rows, cols, vals, _ = build_chunk_tables(csr, tile, e_b)
+    ctr, ctc, rows, cols, vals, _, e_b = build_chunk_tables(csr, tile, e_b)
     total = len(ctr)
 
     # segments: <= _MAX_CHUNKS each, cut only at tile-row boundaries,
