@@ -105,6 +105,27 @@ def test_cootile_segmentation_respects_row_boundaries(monkeypatch):
     np.testing.assert_allclose(y, a @ x, rtol=1e-5, atol=1e-5)
 
 
+def test_auto_e_b_shrinks_on_hyper_sparse_and_stays_correct():
+    """e_b=None sizes the chunk from mean edges per visited tile: a
+    hyper-sparse scatter (~few edges/tile) gets the 128 floor, a dense-ish
+    tile pattern keeps 512 — and both produce correct products."""
+    from h2gcn_tpu.sparse.pallas_cootile import build_chunk_tables
+
+    hyper = _rand(4000, 4000, 0.0005, 11)  # ~8K edges over ~1K tiles @128
+    *_, e_b_hyper = build_chunk_tables(hyper, tile=128, e_b=None)
+    assert e_b_hyper == 128
+    dense_tiles = _rand(256, 256, 0.5, 12)  # ~8K edges/tile @128
+    *_, e_b_dense = build_chunk_tables(dense_tiles, tile=128, e_b=None)
+    assert e_b_dense == 512
+
+    x = np.random.default_rng(6).standard_normal((4000, 24)).astype(np.float32)
+    ct = build_cootile(hyper, tile=128, e_b=None)
+    assert ct.e_b == 128
+    y = np.asarray(cootile_spmm(ct, jnp.asarray(x), precision="highest",
+                                interpret=True))
+    np.testing.assert_allclose(y, hyper @ x, rtol=1e-5, atol=1e-5)
+
+
 def test_auto_backend_prefers_cootile_when_bsr_payload_explodes():
     """auto heuristic: a large scattered matrix whose 128-block payload
     would exceed the budget routes to cootile instead of bsr."""
