@@ -30,10 +30,45 @@ import optax
 from ..modules import controller, logger, monitor
 from ..nn.metrics import masked_accuracy, masked_softmax_cross_entropy
 
-# keras Adam uses epsilon=1e-7 (optax default is 1e-8); keep keras semantics
-# so training trajectories match the reference.
+def _keras_adam(lr: float, b1: float = 0.9, b2: float = 0.999,
+                eps: float = 1e-7) -> optax.GradientTransformation:
+    """Adam with keras's exact update rule.
+
+    keras folds the bias corrections into the step size —
+    ``alpha_t = lr*sqrt(1-b2^t)/(1-b1^t); p -= alpha_t * m/(sqrt(v)+eps)``
+    — so its epsilon meets the UNCORRECTED ``sqrt(v)`` (effectively
+    ``eps/sqrt(1-b2^t)`` against the corrected one: ~30x optax's at step 1,
+    decaying toward eps). ``optax.adam`` corrects m and v first and adds
+    eps after; the difference shifts per-step losses ~4e-4/step vs the
+    executed reference (tests/test_golden_reference.py dynamics golden).
+    Reference: models/H2GCN.py:62-74 via tf-keras Adam.update_step.
+    """
+
+    def init(params):
+        z = lambda: jax.tree_util.tree_map(jnp.zeros_like, params)
+        return {"count": jnp.zeros((), jnp.int32), "m": z(), "v": z()}
+
+    def update(grads, state, params=None):
+        del params
+        count = state["count"] + 1
+        t = count.astype(jnp.float32)
+        alpha = lr * jnp.sqrt(1.0 - b2**t) / (1.0 - b1**t)
+        m = jax.tree_util.tree_map(
+            lambda mm, g: b1 * mm + (1.0 - b1) * g, state["m"], grads)
+        v = jax.tree_util.tree_map(
+            lambda vv, g: b2 * vv + (1.0 - b2) * g * g, state["v"], grads)
+        updates = jax.tree_util.tree_map(
+            lambda mm, vv: -alpha * mm / (jnp.sqrt(vv) + eps), m, v)
+        return updates, {"count": count, "m": m, "v": v}
+
+    return optax.GradientTransformation(init, update)
+
+
+# keras parity: epsilon=1e-7 (optax default is 1e-8), and for adam the
+# keras update rule itself (see _keras_adam) — so training trajectories
+# match the executed reference step-for-step.
 _OPTIMIZERS = {
-    "adam": lambda lr: optax.adam(lr, eps=1e-7),
+    "adam": _keras_adam,
     "sgd": lambda lr: optax.sgd(lr),
     "rmsprop": lambda lr: optax.rmsprop(lr, eps=1e-7),
     "adagrad": lambda lr: optax.adagrad(lr, eps=1e-7),

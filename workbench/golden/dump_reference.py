@@ -40,6 +40,10 @@ def main():
     ap.add_argument("--network_setup", default="M64-R-T1-G-V-T2-G-V-C1-C2-D0.5-MO")
     ap.add_argument("--adj_nhood", nargs="+", default=["1", "2"])
     ap.add_argument("--random_seed", type=int, default=123)
+    ap.add_argument("--train_steps", type=int, default=0,
+                    help="also run N reference train steps (use a "
+                         "dropout-free --network_setup for determinism) and "
+                         "record the per-step losses + final weights")
     ap.add_argument("--out", required=True)
     opts = ap.parse_args()
 
@@ -117,6 +121,25 @@ def main():
         masked_accuracy(predictions, tensors["y_test"], tensors["test_mask"]))
     for name in ("y_train", "y_val", "y_test", "train_mask", "val_mask", "test_mask"):
         out[f"tensors/{name}"] = np.asarray(tensors[name])
+    if opts.train_steps:
+        # Training-dynamics golden: N steps of the reference's own
+        # train_step (H2GCN.py:66-74 — forward, masked CE + keras L2,
+        # GradientTape, optimizer.apply_gradients). The recorded effective
+        # lr is read back from the optimizer object, NOT assumed from
+        # --lr: tf-keras 2.21 silently drops the deprecated "lr" alias the
+        # reference passes to from_config (H2GCN.py:62-63), so the two can
+        # differ — the consuming test must replay whatever actually ran.
+        step_losses = []
+        for _ in range(opts.train_steps):
+            stats = args.objects["train_step"](**tensors)
+            step_losses.append(float(stats["train_loss"]))
+        out["golden/step_losses"] = np.asarray(step_losses, np.float64)
+        for var in model.trainable_variables:
+            out[f"weights_after/{var.name}"] = var.numpy()
+        opt = args.objects["optimizer"]
+        out["meta/effective_lr"] = np.asarray(float(opt.learning_rate))
+        out["meta/optimizer"] = np.array(type(opt).__name__.lower())
+
     out["meta/network_setup"] = np.array(opts.network_setup)
     out["meta/adj_nhood"] = np.array(";".join(opts.adj_nhood))
     out["meta/dataset"] = np.array(opts.dataset)
