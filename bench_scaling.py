@@ -80,6 +80,8 @@ def main():
                         outs.append(dist.dist_spmm_ring(loc, x_local))
                     elif mode == "halo":
                         outs.append(dist.dist_spmm_halo(loc, x_local))
+                    elif mode == "halo-cootile":
+                        outs.append(dist.dist_spmm_halo_cootile(loc, x_local))
                     else:
                         outs.append(dist.dist_spmm(loc, x_local))
                 return tuple(outs)

@@ -33,27 +33,10 @@ _eigen.arpack = _arpack
 sys.modules["scipy.sparse.linalg.eigen"] = _eigen
 sys.modules["scipy.sparse.linalg.eigen.arpack"] = _arpack
 
-# Keras-version compat: the reference builds its optimizer with
-# `keras.optimizers.get(name).from_config({"lr": lr})`
-# (h2gcn/models/H2GCN.py:62-63). The TF-2.1-era keras honored the
-# deprecated "lr" alias, so the published reference trains at --lr
-# (default 0.01). tf-keras 2.21 *warns and drops* the key, silently
-# training at the Adam default 1e-3 instead. Restore the published
-# semantics by translating the alias before from_config sees it.
-# Set H2GCN_REF_KEEP_LR_BUG=1 to reproduce the modern-keras behavior.
-if not os.environ.get("H2GCN_REF_KEEP_LR_BUG"):
-    import tf_keras  # noqa: E402
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import _keras_lr_fix  # noqa: E402
 
-    _base = tf_keras.optimizers.Optimizer
-    _orig_from_config = _base.from_config.__func__
-
-    def _from_config(cls, config, custom_objects=None):
-        config = dict(config)
-        if "lr" in config and "learning_rate" not in config:
-            config["learning_rate"] = config.pop("lr")
-        return _orig_from_config(cls, config, custom_objects)
-
-    _base.from_config = classmethod(_from_config)
+_keras_lr_fix.apply()
 
 sys.argv = ["run_experiments.py"] + sys.argv[1:]
 runpy.run_path(os.path.join(REFERENCE, "run_experiments.py"), run_name="__main__")

@@ -4,7 +4,10 @@ Parses the `Best performance:` block of each training log (reference TF2
 runs via run_reference_train.py; ours via h2gcn_tpu.run_experiments) and
 prints the mean±std table used in docs/BENCHMARKS.md.
 
-Usage: python summarize_seeds.py   (from workbench/golden)
+Usage: python summarize_seeds.py [ref_glob] [ours_glob]
+  default globs: ref_train_*.log  ours/ours_*.log
+  e.g. the lr-matched pair:  ref_train_*.log  ours_lr3/ours_*.log
+       the published-lr pair: ref_lr01/ref_*.log  ours/ours_*.log
 """
 import glob
 import os
@@ -33,7 +36,7 @@ def collect(pattern):
     accs = {}
     for path in sorted(glob.glob(os.path.join(HERE, pattern))):
         name = os.path.basename(path)
-        m = re.match(r"(?:ours_|ref_train_)(h2gcn[12]_\w+?)(?:_s(\d+))?\.log$", name)
+        m = re.match(r"(?:ours_|ref_train_|ref_)(h2gcn[12]_\w+?)(?:_s(\d+))?\.log$", name)
         if not m:
             continue
         tag, seed = m.group(1), m.group(2) or "123"
@@ -52,8 +55,8 @@ def fmt(vals):
 
 
 def main():
-    ref = collect("ref_train_*.log")
-    ours = collect("ours/ours_*.log")
+    ref = collect(sys.argv[1] if len(sys.argv) > 1 else "ref_train_*.log")
+    ours = collect(sys.argv[2] if len(sys.argv) > 2 else "ours/ours_*.log")
     print("| Config | Reference TF2 (mean±std) | h2gcn_tpu (mean±std) | Δ mean |")
     print("|---|---|---|---|")
     for tag in CONFIGS:
