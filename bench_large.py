@@ -40,6 +40,41 @@ def count_bsr_blocks(a: sp.csr_matrix, block=128) -> int:
                          + coo.col // block).size)
 
 
+def build_sbm_graph(n, m_edges, n_blocks=200, p_in=0.9, seed=0,
+                    shuffle=True):
+    """Stochastic-block-model graph: ``p_in`` of edges fall inside one of
+    ``n_blocks`` equal communities, the rest are uniform background.
+
+    Real at-scale graphs (ogbn-products, social/web graphs) have strong
+    community structure — unlike the adversarial uniform power-law default,
+    an ordering pass can actually recover locality here. Nodes are
+    SHUFFLED before output (``shuffle=True``) so the natural order carries
+    no hint of the planted communities: whatever tile locality the
+    benchmark measures under ``--reorder`` was *found* by
+    ``cluster_order``, not given away by construction.
+    """
+    rng = np.random.default_rng(seed)
+    bs = n // n_blocks
+    n_in = int(m_edges * p_in)
+    blk = rng.integers(0, n_blocks, size=n_in)
+    src_in = blk * bs + rng.integers(0, bs, size=n_in)
+    dst_in = blk * bs + rng.integers(0, bs, size=n_in)
+    n_out = m_edges - n_in
+    src_out = rng.integers(0, n, size=n_out)
+    dst_out = rng.integers(0, n, size=n_out)
+    src = np.concatenate([src_in, src_out])
+    dst = np.concatenate([dst_in, dst_out])
+    if shuffle:
+        perm = rng.permutation(n)
+        src, dst = perm[src], perm[dst]
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    a = sp.coo_matrix(
+        (np.ones(len(src), np.float32), (src, dst)), shape=(n, n))
+    a = ((a + a.T) > 0).astype(np.float32)
+    return a.tocsr()
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=250_000)
@@ -48,13 +83,23 @@ def main():
                          "VERDICT #3 regime); heavier tails explode "
                          "quadratically through the hubs")
     ap.add_argument("--features", type=int, default=64)
+    ap.add_argument("--graph", choices=("powerlaw", "sbm"),
+                    default="powerlaw",
+                    help="powerlaw = uniform zipf tail (adversarial for any "
+                         "ordering pass); sbm = planted-community graph "
+                         "with shuffled node ids (the realistic regime "
+                         "where cluster_order recovers tile locality)")
     ap.add_argument("--skip_tpu", action="store_true",
                     help="host-side (precompute) benchmark only")
     ap.add_argument("--out", default="docs/bench_large.json")
     args = ap.parse_args()
 
-    report = {"n": args.n, "m_requested": args.edges, "features": args.features}
-    A = build_graph(args.n, args.edges, seed=0)
+    report = {"n": args.n, "m_requested": args.edges,
+              "features": args.features, "graph": args.graph}
+    if args.graph == "sbm":
+        A = build_sbm_graph(args.n, args.edges, seed=0)
+    else:
+        A = build_graph(args.n, args.edges, seed=0)
     report["nnz_adj"] = int(A.nnz)
 
     from h2gcn_tpu.parallel.spgemm import dist_nhood_split
@@ -161,33 +206,39 @@ def main():
         # pays one x-tile HBM read per visited tile, so the reorder's tile
         # reduction is direct HBM traffic savings)
         t0 = time.perf_counter()
-        c1 = SparseMatrix.from_scipy(a1, backend="cootile")
-        c2 = SparseMatrix.from_scipy(a2, backend="cootile")
-        report["cootile_build_s"] = time.perf_counter() - t0
-        cc1 = SparseMatrix.from_scipy(ordered["cluster"][0],
-                                      backend="cootile")
-        cc2 = SparseMatrix.from_scipy(ordered["cluster"][1],
-                                      backend="cootile")
-        for label, (k1, k2), (p1, p2) in (
-            ("cootile", (c1, c2), (a1, a2)),
-            ("cootile-cluster", (cc1, cc2), ordered["cluster"]),
-        ):
+        built = {}
+        geo = {}
+        for label, (p1, p2) in (("cootile", (a1, a2)),
+                                ("cootile-cluster", ordered["cluster"])):
             for tag, prec in (("f32", "highest"), ("bf16", "default")):
-                k1p, k2p = k1.replace(precision=prec), k2.replace(precision=prec)
-                fns[f"{label}/{tag}"] = (
-                    lambda k1p=k1p, k2p=k2p: agg(k1p, k2p, x))
-                # roofline: edge chunks + one x tile per visited tile + out
-                coot_bytes = 0.0
-                for cm, asp in ((k1, p1), (k2, p2)):
-                    nch = sum(s.ctr.shape[0] for s in cm.coot.segments)
-                    tiles = len(np.unique(
-                        (asp.tocoo().row // cm.coot.tile).astype(np.int64)
-                        * (-(-args.n // cm.coot.tile))
-                        + asp.tocoo().col // cm.coot.tile))
-                    coot_bytes += (nch * cm.coot.e_b * 12
-                                   + tiles * cm.coot.tile * 128 * 4
-                                   + args.n * args.features * 4)
-                sol[f"{label}/{tag}"] = coot_bytes / bw
+                # geometry is precision-dependent (auto_geometry's MXU
+                # roof differs 3x between bf16 and split-3 exact mode),
+                # so each precision gets its own build
+                k1 = SparseMatrix.from_scipy(p1, backend="cootile",
+                                             precision=prec)
+                k2 = SparseMatrix.from_scipy(p2, backend="cootile",
+                                             precision=prec)
+                built[f"{label}/{tag}"] = (k1, k2, p1, p2)
+                geo[f"{label}/{tag}"] = (k1.coot.tile, k1.coot.e_b)
+        report["cootile_build_s"] = time.perf_counter() - t0
+        report["cootile_geometry"] = geo
+        for key, (k1, k2, p1, p2) in built.items():
+            tag = key.split("/")[1]
+            fns[key] = (lambda k1=k1, k2=k2: agg(k1, k2, x))
+            # roofline: edge chunks + one x tile per visited tile + out
+            # (bf16 mode stores the x tiles in bf16 — 2 bytes/elem)
+            xbytes = 4 if tag == "f32" else 2
+            coot_bytes = 0.0
+            for cm, asp in ((k1, p1), (k2, p2)):
+                nch = sum(s.ctr.shape[0] for s in cm.coot.segments)
+                tiles = len(np.unique(
+                    (asp.tocoo().row // cm.coot.tile).astype(np.int64)
+                    * (-(-args.n // cm.coot.tile))
+                    + asp.tocoo().col // cm.coot.tile))
+                coot_bytes += (nch * cm.coot.e_b * 12
+                               + tiles * cm.coot.tile * 128 * xbytes
+                               + args.n * args.features * 4)
+            sol[key] = coot_bytes / bw
         if bsr_feasible:
             for tag, kw in (("f32", {}), ("bf16",
                                           dict(payload_dtype="bfloat16",

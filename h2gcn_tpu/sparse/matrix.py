@@ -235,11 +235,12 @@ class SparseMatrix:
             # at-scale path when BSR block occupancy is hopeless
             from .pallas_cootile import build_cootile
 
-            coot = build_cootile(csr)
+            geo_dtype = "f32" if precision == "highest" else "bf16"
+            coot = build_cootile(csr, dtype=geo_dtype)
             if build_transpose is None:
                 build_transpose = not symmetric
             if build_transpose:
-                coot_t = build_cootile(sp.csr_matrix(csr.T))
+                coot_t = build_cootile(sp.csr_matrix(csr.T), dtype=geo_dtype)
 
         t_perm = None
         if not symmetric:

@@ -37,6 +37,67 @@ from flax import struct
 F_TILE = 128
 _MAX_CHUNKS = 64 * 1024  # scalar-prefetch budget: 8B/chunk, SMEM ~1MB
 
+# Cost-model rates for auto_geometry. Only RATIOS matter (the model picks
+# an argmin, it never predicts wall time): v5e public specs, bf16 MXU
+# 197 TFLOP/s, exact mode ≈ 1/3 of it (the one-hot operand is exact in
+# bf16, so only the dense side splits — 3 bf16 passes per contraction,
+# see _onehot_dot_exact), HBM 819 GB/s. A different generation shifts
+# both roofs together, leaving the geometry choice essentially unchanged.
+_MXU_RATE = {"bf16": 197e12, "f32": 197e12 / 3}
+_HBM_RATE = 819e9
+
+
+def auto_geometry(csr, f: int = 64, dtype: str = "bf16",
+                  tile_cands=(256, 512, 1024, 2048),
+                  e_b_cands=(128, 256, 512)) -> Tuple[int, int]:
+    """Pick ``(tile, e_b)`` minimizing a two-roof cost model.
+
+    Per chunk the kernel spends ``4·e_b·tile·f_pad`` MXU FLOPs (two one-hot
+    contractions) and the HBM side pays one ``tile×f_pad`` x-tile read per
+    VISITED tile plus 12 bytes per (padded) edge slot. The two roofs pull
+    in opposite directions:
+
+    * **MXU roof**: once chunks are full (``edges/tile ≫ e_b``) compute is
+      ``≈ 4·nnz·tile·f_pad`` — grows linearly in T, so a compute-bound
+      workload wants the SMALLEST tile (and when chunks are mostly padding,
+      the smallest e_b);
+    * **HBM roof**: visited tiles shrink as T grows (down to the whole
+      grid ``(n/T)²`` when saturated), so x-tile traffic
+    ``tiles(T)·T·f_pad`` *falls* with T wherever doubling T better than
+      halves the visited-tile count.
+
+    The fixed 512/512 default sat at neither optimum: the model decouples
+    T (HBM amortization) from e_b (MXU padding), which a joint
+    (512,512)-vs-(1024,1024) sweep could never see. Pipeline overlap makes
+    the per-geometry cost ``max(compute, hbm)``.
+    """
+    import scipy.sparse as sp
+
+    coo = sp.coo_matrix(csr)
+    n, m = coo.shape
+    f_pad = max(F_TILE, -(-f // F_TILE) * F_TILE)
+    xbytes = 2 if dtype == "bf16" else 4
+    mxu = _MXU_RATE[dtype]
+    row = coo.row.astype(np.int64)
+    col = coo.col.astype(np.int64)
+    best, best_cost = (512, 512), np.inf
+    for t in tile_cands:
+        ncb = -(-m // t)
+        n_rb = -(-n // t)
+        counts = np.unique(row // t * ncb + col // t, return_counts=True)[1]
+        tiles = counts.size
+        for e_b in e_b_cands:
+            chunks = int(np.sum(-(-counts // e_b))) + max(n_rb - tiles, 0)
+            compute = chunks * 4.0 * e_b * t * f_pad / mxu
+            hbm = (tiles * t * f_pad * xbytes   # x tile per visited tile
+                   + chunks * e_b * 12          # edge slots (rows/cols/vals)
+                   + n_rb * t * f_pad * 4.0     # output flush, f32
+                   ) / _HBM_RATE
+            cost = max(compute, hbm)
+            if cost < best_cost:
+                best, best_cost = (t, e_b), cost
+    return best
+
 
 def _auto_e_b(coo, tile: int, ncb: int) -> int:
     """Chunk size from mean edges per visited tile (≤50% padding target)."""
@@ -141,13 +202,24 @@ def build_chunk_tables(csr, tile: int = 512, e_b: int | None = 512):
     return ctr, ctc, rows, cols, vals, n_rb, e_b
 
 
-def build_cootile(csr, tile: int = 512, e_b: int | None = None) -> CooTile:
-    """Chunk tables (:func:`build_chunk_tables`, auto-sized ``e_b`` by
-    default) → SMEM-budget segments, staged on device ONCE."""
+def build_cootile(csr, tile: int | None = None, e_b: int | None = None,
+                  dtype: str = "bf16") -> CooTile:
+    """Chunk tables (:func:`build_chunk_tables`) → SMEM-budget segments,
+    staged on device ONCE. ``tile=None`` picks the full ``(tile, e_b)``
+    geometry from :func:`auto_geometry`'s two-roof cost model (``dtype``
+    names the precision mode the matrix will run under — f32-HIGHEST's
+    3-pass MXU cost shifts the optimum toward smaller tiles); an explicit
+    ``tile`` with ``e_b=None`` keeps the legacy padding-driven
+    :func:`_auto_e_b` choice."""
     import scipy.sparse as sp
 
     csr = sp.csr_matrix(csr)
     n, m = csr.shape
+    if tile is None:
+        auto_t, auto_eb = auto_geometry(csr, dtype=dtype)
+        tile = auto_t
+        if e_b is None:
+            e_b = auto_eb
     ctr, ctc, rows, cols, vals, _, e_b = build_chunk_tables(csr, tile, e_b)
     total = len(ctr)
 
@@ -192,11 +264,30 @@ def build_cootile(csr, tile: int = 512, e_b: int | None = None) -> CooTile:
                    n_rows=n, n_cols=m)
 
 
+def _onehot_dot_exact(oh_bf16, dense_f32):
+    """``onehot @ dense`` at f32 fidelity in 3 bf16 MXU passes.
+
+    A 0/1 one-hot matrix is EXACTLY representable in bf16, so only the
+    dense operand needs splitting: three bf16 terms carry ~3×8 mantissa
+    bits ≈ f32's 24, and each partial product is exact (1.0 × bf16 term)
+    under the MXU's f32 accumulation. Generic f32 matmuls can't exploit
+    this — HIGHEST must split BOTH operands (6+ passes); selection
+    contractions need only 3.
+    """
+    acc = None
+    rem = dense_f32
+    for _ in range(3):
+        part = rem.astype(jnp.bfloat16)
+        rem = rem - part.astype(jnp.float32)
+        term = jnp.dot(oh_bf16, part, preferred_element_type=jnp.float32)
+        acc = term if acc is None else acc + term
+    return acc
+
+
 def _make_kernel(tile, e_b, compute_dtype):
     from jax.experimental import pallas as pl
 
-    prec = (jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32
-            else jax.lax.Precision.DEFAULT)
+    exact = compute_dtype == jnp.float32
 
     def kernel(ctr_ref, ctc_ref, rows_ref, cols_ref, vals_ref, x_ref, o_ref):
         i = pl.program_id(1)
@@ -208,16 +299,23 @@ def _make_kernel(tile, e_b, compute_dtype):
         rows = rows_ref[sub]
         vals = vals_ref[sub]
         iota_ec = jax.lax.broadcasted_iota(jnp.int32, (e_b, tile), 1)
-        col_oh = (cols[:, None] == iota_ec).astype(compute_dtype)
-        gathered = jnp.dot(col_oh, x_ref[...].astype(compute_dtype),
-                           preferred_element_type=jnp.float32,
-                           precision=prec)
-        gathered = gathered * vals[:, None]
         iota_te = jax.lax.broadcasted_iota(jnp.int32, (tile, e_b), 0)
-        row_oh = (iota_te == rows[None, :]).astype(compute_dtype)
-        contrib = jnp.dot(row_oh, gathered.astype(compute_dtype),
-                          preferred_element_type=jnp.float32,
-                          precision=prec)
+        col_oh = (cols[:, None] == iota_ec)
+        row_oh = (iota_te == rows[None, :])
+        if exact:
+            gathered = _onehot_dot_exact(col_oh.astype(jnp.bfloat16),
+                                         x_ref[...].astype(jnp.float32))
+            gathered = gathered * vals[:, None]
+            contrib = _onehot_dot_exact(row_oh.astype(jnp.bfloat16),
+                                        gathered)
+        else:
+            gathered = jnp.dot(col_oh.astype(jnp.bfloat16),
+                               x_ref[...].astype(jnp.bfloat16),
+                               preferred_element_type=jnp.float32)
+            gathered = gathered * vals[:, None]
+            contrib = jnp.dot(row_oh.astype(jnp.bfloat16),
+                              gathered.astype(jnp.bfloat16),
+                              preferred_element_type=jnp.float32)
 
         @pl.when(first)
         def _():
@@ -272,6 +370,12 @@ def cootile_spmm(ct: CooTile, x: jax.Array, *, precision: str = "highest",
     if m_pad != m or f_pad != f:
         xp = jnp.zeros((m_pad, f_pad), x.dtype).at[:m, :f].set(x)
     dtype_name = "float32" if precision == "highest" else "bfloat16"
+    if dtype_name == "bfloat16":
+        # the x-tile reads are the kernel's dominant HBM traffic (one
+        # tile×F_TILE block per visited tile); storing x in bf16 halves
+        # them. f32 accumulation is unchanged — same contract as the
+        # dense/BSR backends' bf16 payload mode.
+        xp = xp.astype(jnp.bfloat16)
     parts = []
     for seg in ct.segments:
         fn = _seg_fn(seg.ctr.shape[0], seg.rb_hi - seg.rb_lo, tile, e_b,

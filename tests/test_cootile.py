@@ -139,3 +139,73 @@ def test_auto_backend_prefers_cootile_when_bsr_payload_explodes():
     sm = SparseMatrix.from_scipy(a, backend="auto", build_transpose=False)
     assert sm.backend == "cootile"
     assert sm.coot is not None
+
+
+def test_auto_geometry_two_roof_model():
+    """auto_geometry decouples T (HBM amortization) from e_b (MXU padding).
+
+    Compute-bound saturated case (small n, nnz >> grid): MXU cost grows
+    with T, so the model takes the smallest tile and chunk. Grid-collapse
+    case (mid n, scattered edges): at T=2048 the whole grid holds fewer
+    tiles than there are edge-tiles at T=256, so the per-visited-tile
+    x-read traffic collapses and the model takes the large tile.
+    """
+    from h2gcn_tpu.sparse.pallas_cootile import auto_geometry
+
+    rng = np.random.default_rng(0)
+    n = 4096
+    r = rng.integers(0, n, 400_000)
+    c = rng.integers(0, n, 400_000)
+    sat = sp.csr_matrix((np.ones(len(r), np.float32), (r, c)), shape=(n, n))
+    sat.sum_duplicates()
+    assert auto_geometry(sat, dtype="bf16") == (256, 128)
+
+    n2 = 100_000
+    r2 = rng.integers(0, n2, 30_000)
+    c2 = rng.integers(0, n2, 30_000)
+    hyp = sp.csr_matrix((np.ones(len(r2), np.float32), (r2, c2)),
+                        shape=(n2, n2))
+    t, e_b = auto_geometry(hyp, dtype="bf16")
+    assert t == 2048 and e_b == 128
+
+
+def test_build_cootile_auto_geometry_correct():
+    """tile=None routes through auto_geometry and the product still
+    matches scipy at every geometry the model can pick."""
+    a = _rand(700, 900, 0.01, 3)
+    x = np.random.default_rng(5).standard_normal((900, 64)).astype(np.float32)
+    ct = build_cootile(a)  # full auto
+    y = np.asarray(cootile_spmm(ct, jnp.asarray(x), precision="highest",
+                                interpret=True))
+    np.testing.assert_allclose(y, a @ x, rtol=1e-5, atol=1e-5)
+
+
+def test_bf16_x_cast_accuracy():
+    """precision='default' stores the x tiles in bf16 (half the dominant
+    HBM traffic); accumulation stays f32, so the relative error is the
+    bf16 mantissa's, not worse."""
+    a = _rand(700, 900, 0.01, 7)
+    x = np.random.default_rng(8).standard_normal((900, 64)).astype(np.float32)
+    ct = build_cootile(a, tile=256, e_b=128)
+    ref = a @ x
+    yb = np.asarray(cootile_spmm(ct, jnp.asarray(x), precision="default",
+                                 interpret=True))
+    rel = np.abs(yb - ref).max() / np.abs(ref).max()
+    assert rel < 2e-2
+
+
+def test_exact_mode_split3_f32_fidelity():
+    """precision='highest' runs 3 bf16 MXU passes with the one-hot operand
+    exact in bf16 — the result must sit at f32 rounding distance from a
+    float64 oracle, same as a plain f32 matmul would."""
+    rng = np.random.default_rng(0)
+    a = sp.random(1000, 1200, density=0.02, random_state=1, format="csr",
+                  dtype=np.float32)
+    a.data[:] = rng.standard_normal(a.nnz).astype(np.float32)
+    x = (rng.standard_normal((1200, 64)) * 100).astype(np.float32)
+    ref64 = a.astype(np.float64) @ x.astype(np.float64)
+    ct = build_cootile(a, tile=256, e_b=128)
+    y = np.asarray(cootile_spmm(ct, jnp.asarray(x), precision="highest",
+                                interpret=True))
+    rel = np.abs(y - ref64).max() / np.abs(ref64).max()
+    assert rel < 5e-7
