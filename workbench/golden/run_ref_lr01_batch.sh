@@ -8,22 +8,29 @@ set -u
 cd "$(dirname "$0")"
 export PYTHONPATH=/root/repo:/root/.axon_site
 mkdir -p ref_lr01
-for seed in 1 2 3; do
+
+run_one() {
+  local ds=$1 net=$2 tag=$3 seed=$4
+  local out="ref_lr01/ref_${tag}_s${seed}.log"
+  if grep -q "Best performance" "$out" 2>/dev/null; then return; fi
+  timeout 2400 python run_reference_train.py H2GCN planetoid \
+    --dataset "$ds" \
+    --dataset_path /root/reference/baselines/mixhop/data/planetoid/data \
+    --network_setup "$net" --random_seed "$seed" --epochs 800 \
+    > "$out" 2>&1
+  echo "done ref-lr01 $tag s$seed"
+}
+
+for seed in 1 2 3 4 5 7 42 123; do
   for cfg in \
     "ind.cora:M64-R-T1-G-V-T2-G-V-C1-C2-D0.5-MO:h2gcn2_cora" \
     "ind.cora:M64-R-T1-G-V-C1-D0.5-MO:h2gcn1_cora" \
     "ind.citeseer:M64-R-T1-G-V-T2-G-V-C1-C2-D0.5-MO:h2gcn2_citeseer" \
     "ind.citeseer:M64-R-T1-G-V-C1-D0.5-MO:h2gcn1_citeseer"; do
     IFS=: read ds net tag <<< "$cfg"
-    out="ref_lr01/ref_${tag}_s${seed}.log"
-    if ! grep -q "Best performance" "$out" 2>/dev/null; then
-      timeout 2400 python run_reference_train.py H2GCN planetoid \
-        --dataset "$ds" \
-        --dataset_path /root/reference/baselines/mixhop/data/planetoid/data \
-        --network_setup "$net" --random_seed "$seed" --epochs 800 \
-        > "$out" 2>&1
-      echo "done ref-lr01 $tag s$seed"
-    fi
+    run_one "$ds" "$net" "$tag" "$seed" &
+    while [ "$(jobs -r | wc -l)" -ge 2 ]; do wait -n; done
   done
 done
+wait
 echo REF-LR01-DONE
