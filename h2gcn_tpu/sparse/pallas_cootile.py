@@ -37,14 +37,18 @@ from flax import struct
 F_TILE = 128
 _MAX_CHUNKS = 64 * 1024  # scalar-prefetch budget: 8B/chunk, SMEM ~1MB
 
-# Cost-model rates for auto_geometry. Only RATIOS matter (the model picks
-# an argmin, it never predicts wall time): v5e public specs, bf16 MXU
+# Cost-model rates for auto_geometry: v5e public specs, bf16 MXU
 # 197 TFLOP/s, exact mode ≈ 1/3 of it (the one-hot operand is exact in
 # bf16, so only the dense side splits — 3 bf16 passes per contraction,
-# see _onehot_dot_exact), HBM 819 GB/s. A different generation shifts
-# both roofs together, leaving the geometry choice essentially unchanged.
+# see _onehot_dot_exact), HBM 819 GB/s. _CHUNK_OVERHEAD_S is the
+# measured fixed cost of one grid step (scalar bookkeeping + one-hot
+# build + DMA descriptor work): a 6-geometry sweep of the 250K-node
+# 25M-nnz Â₂ on v5e showed measured-minus-MXU ≈ 0.53-0.78 µs/chunk
+# across every (T, e_b) — without this term the model drifts toward
+# tiny chunks whose per-step cost swamps their MXU savings.
 _MXU_RATE = {"bf16": 197e12, "f32": 197e12 / 3}
 _HBM_RATE = 819e9
+_CHUNK_OVERHEAD_S = 0.6e-6
 
 
 def auto_geometry(csr, f: int = 64, dtype: str = "bf16",
@@ -88,7 +92,8 @@ def auto_geometry(csr, f: int = 64, dtype: str = "bf16",
         tiles = counts.size
         for e_b in e_b_cands:
             chunks = int(np.sum(-(-counts // e_b))) + max(n_rb - tiles, 0)
-            compute = chunks * 4.0 * e_b * t * f_pad / mxu
+            compute = chunks * (_CHUNK_OVERHEAD_S
+                                + 4.0 * e_b * t * f_pad / mxu)
             hbm = (tiles * t * f_pad * xbytes   # x tile per visited tile
                    + chunks * e_b * 12          # edge slots (rows/cols/vals)
                    + n_rb * t * f_pad * 4.0     # output flush, f32
