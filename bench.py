@@ -115,19 +115,17 @@ def spmm_bytes(backend, tag, a_sp, n, f, feature_tile=128):
                        + coo.col // B).size
         return nb * B * B * payload_item + nb * B * feature_tile * x_item + out_bytes
     if backend == "cootile":
-        # edge chunks (12B/slot incl. padding) + one x tile per visited
-        # tile + the output write, at the geometry auto_geometry actually
-        # picks for this matrix/precision (bf16 mode reads x tiles in bf16)
-        from h2gcn_tpu.sparse.pallas_cootile import auto_geometry
+        # edge chunks (12B/slot incl. padding) + one x tile per CHUNK (each
+        # of a block's 8 slot operands DMAs its own tile) + the output
+        # write, at the geometry auto_geometry actually picks for this
+        # matrix/precision (bf16 mode reads x tiles in bf16)
+        from h2gcn_tpu.sparse.pallas_cootile import (auto_geometry,
+                                                     model_chunk_count)
 
         tile, e_b = auto_geometry(a_sp, f=f,
                                   dtype="bf16" if tag == "bf16" else "f32")
-        coo = a_sp.tocoo()
-        ncb = -(-a_sp.shape[1] // tile)
-        keys = (coo.row // tile).astype(np.int64) * ncb + coo.col // tile
-        uniq, counts = np.unique(keys, return_counts=True)
-        chunks = int(np.sum(-(-counts // e_b)))
-        return (chunks * e_b * 12 + uniq.size * tile * feature_tile * x_item
+        chunks = model_chunk_count(a_sp, tile, e_b)
+        return (chunks * e_b * 12 + chunks * tile * feature_tile * x_item
                 + out_bytes)
     # segment: edge vals + per-edge gather of an f-wide row + scatter-accum
     return a_sp.nnz * (4 + f * 4 + f * 4) + out_bytes

@@ -227,18 +227,15 @@ def main():
         for key, (k1, k2, p1, p2) in built.items():
             tag = key.split("/")[1]
             fns[key] = (lambda k1=k1, k2=k2: agg(k1, k2, x))
-            # roofline: edge chunks + one x tile per visited tile + out
-            # (bf16 mode stores the x tiles in bf16 — 2 bytes/elem)
+            # roofline: edge chunks + one x tile per CHUNK (each slot
+            # operand of an 8-chunk block DMAs its own tile; bf16 mode
+            # stores the x tiles in bf16 — 2 bytes/elem)
             xbytes = 4 if tag == "f32" else 2
             coot_bytes = 0.0
-            for cm, asp in ((k1, p1), (k2, p2)):
+            for cm in (k1, k2):
                 nch = sum(s.ctr.shape[0] for s in cm.coot.segments)
-                tiles = len(np.unique(
-                    (asp.tocoo().row // cm.coot.tile).astype(np.int64)
-                    * (-(-args.n // cm.coot.tile))
-                    + asp.tocoo().col // cm.coot.tile))
                 coot_bytes += (nch * cm.coot.e_b * 12
-                               + tiles * cm.coot.tile * 128 * xbytes
+                               + nch * cm.coot.tile * 128 * xbytes
                                + args.n * args.features * 4)
             sol[key] = coot_bytes / bw
         if bsr_feasible:

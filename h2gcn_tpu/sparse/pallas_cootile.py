@@ -15,13 +15,21 @@ payload. Replaces the reference's ``tf.sparse.sparse_dense_matmul``
 (h2gcn/models/_layers.py:78-81) in the regime the reference could never
 reach single-device.
 
-Geometry: tiles are ``T×T`` (default 512), chunks hold ``E_B`` edges
-(default 512 — swept on v5e at 35M nnz: 512/512 beats 1024/1024 by ~12%
-bf16 and ~55% f32, and its exact-f32 mode outruns the segment fallback),
-chunk metadata (tile row/col per chunk) rides the scalar-
-prefetch SMEM path. SMEM is ~1MB, so the chunk list is split into segments
-of ≤``_MAX_CHUNKS`` cut at tile-row boundaries — each segment is its own
-``pallas_call`` writing a disjoint output row range.
+Geometry: tiles are ``T×T``, chunks hold ``E_B`` edges (both picked per
+matrix by :func:`auto_geometry`'s measured two-roof cost model), and chunk
+metadata (tile row/col per chunk) rides the scalar-prefetch SMEM path.
+One grid step processes one ``_K``-chunk block — the same 8-chunk
+granularity the edge data is DMA'd at. A v5e probe
+(workbench/probe_step_overhead.py) showed ~0.63 µs of FIXED cost per grid
+step (DMA descriptors + scalar bookkeeping; the mask build and MXU dots
+add only ~0.64 µs combined), so amortizing the step cost over 8 chunks
+nearly halves per-edge time at scale. The 8 chunks of a block must share
+one output tile row; :func:`build_chunk_tables` pads every tile row's
+chunk list to a multiple of ``_K`` with zero-valued filler chunks. Each
+chunk's x tile arrives through its own slot operand (8 ``BlockSpec``
+entries indexed ``tc[8i+k]``). SMEM is ~1MB, so the chunk list is split into
+segments of ≤``_MAX_CHUNKS`` cut at tile-row boundaries — each segment is
+its own ``pallas_call`` writing a disjoint output row range.
 """
 
 from __future__ import annotations
@@ -35,20 +43,46 @@ import numpy as np
 from flax import struct
 
 F_TILE = 128
+_K = 8  # chunks per grid step == chunks per DMA'd edge block
 _MAX_CHUNKS = 64 * 1024  # scalar-prefetch budget: 8B/chunk, SMEM ~1MB
+_VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the ~16MB/core
 
 # Cost-model rates for auto_geometry: v5e public specs, bf16 MXU
 # 197 TFLOP/s, exact mode ≈ 1/3 of it (the one-hot operand is exact in
 # bf16, so only the dense side splits — 3 bf16 passes per contraction,
-# see _onehot_dot_exact), HBM 819 GB/s. _CHUNK_OVERHEAD_S is the
-# measured fixed cost of one grid step (scalar bookkeeping + one-hot
-# build + DMA descriptor work): a 6-geometry sweep of the 250K-node
-# 25M-nnz Â₂ on v5e showed measured-minus-MXU ≈ 0.53-0.78 µs/chunk
-# across every (T, e_b) — without this term the model drifts toward
-# tiny chunks whose per-step cost swamps their MXU savings.
+# see _onehot_dot_exact), HBM 819 GB/s. _STEP_OVERHEAD_S is the measured
+# fixed cost of one grid STEP (DMA descriptors + scalar bookkeeping):
+# a null-compute kernel with identical grid/DMA structure measured
+# 0.63 µs/step on v5e (workbench/probe_step_overhead.py), invariant in
+# (T, e_b) — the one-hot build + MXU dots together added only ~0.64 µs,
+# i.e. the masks are effectively free next to the contraction. The
+# _K-chunk block amortizes the step cost 8× per chunk.
 _MXU_RATE = {"bf16": 197e12, "f32": 197e12 / 3}
 _HBM_RATE = 819e9
-_CHUNK_OVERHEAD_S = 0.6e-6
+_STEP_OVERHEAD_S = 0.7e-6
+
+
+def _padded_chunk_count(row_of_tile, counts, n_rb, e_b) -> int:
+    """Chunks :func:`build_chunk_tables` emits: per-tile ceil division,
+    every tile row padded to a multiple of ``_K`` (empty rows get one full
+    filler block). Shared by the cost model and the bench byte models."""
+    per_row = np.bincount(row_of_tile, weights=-(-counts // e_b),
+                          minlength=n_rb)
+    per_row = np.where(per_row == 0, _K, -(-per_row // _K) * _K)
+    return int(per_row.sum())
+
+
+def model_chunk_count(csr, tile: int, e_b: int) -> int:
+    """:func:`_padded_chunk_count` from a scipy matrix (bench roofline)."""
+    import scipy.sparse as sp
+
+    coo = sp.coo_matrix(csr)
+    ncb = -(-coo.shape[1] // tile)
+    n_rb = -(-coo.shape[0] // tile)
+    uniq, counts = np.unique(
+        coo.row.astype(np.int64) // tile * ncb + coo.col // tile,
+        return_counts=True)
+    return _padded_chunk_count(uniq // ncb, counts, n_rb, e_b)
 
 
 def auto_geometry(csr, f: int = 64, dtype: str = "bf16",
@@ -58,22 +92,35 @@ def auto_geometry(csr, f: int = 64, dtype: str = "bf16",
 
     Per chunk the kernel spends ``4·e_b·tile·f_pad`` MXU FLOPs (two one-hot
     contractions) and the HBM side pays one ``tile×f_pad`` x-tile read per
-    VISITED tile plus 12 bytes per (padded) edge slot. The two roofs pull
-    in opposite directions:
+    CHUNK (each of a block's 8 slot operands DMAs its own tile) plus 12
+    bytes per (padded) edge slot; each 8-chunk grid step additionally pays
+    the measured fixed ``_STEP_OVERHEAD_S``. The two roofs pull in opposite
+    directions:
 
     * **MXU roof**: once chunks are full (``edges/tile ≫ e_b``) compute is
       ``≈ 4·nnz·tile·f_pad`` — grows linearly in T, so a compute-bound
       workload wants the SMALLEST tile (and when chunks are mostly padding,
       the smallest e_b);
-    * **HBM roof**: visited tiles shrink as T grows (down to the whole
-      grid ``(n/T)²`` when saturated), so x-tile traffic
-    ``tiles(T)·T·f_pad`` *falls* with T wherever doubling T better than
-      halves the visited-tile count.
+    * **HBM roof**: chunk count falls as T and e_b grow (denser tiles →
+      fuller chunks), so the per-chunk x-tile traffic favors geometries
+      whose chunks are FULL — large e_b on dense tile grids, large T where
+      doubling T better than halves the visited-tile count.
 
-    The fixed 512/512 default sat at neither optimum: the model decouples
-    T (HBM amortization) from e_b (MXU padding), which a joint
-    (512,512)-vs-(1024,1024) sweep could never see. Pipeline overlap makes
-    the per-geometry cost ``max(compute, hbm)``.
+    Chunk counts model :func:`build_chunk_tables` exactly: per-tile
+    ceil-division, every tile row padded to a multiple of ``_K`` (missing
+    rows get a full filler block). Geometries whose slot operands would
+    exceed the VMEM budget (8 double-buffered x tiles + the output block)
+    are skipped.
+
+    The per-geometry cost is ``compute + hbm`` (serial), NOT
+    ``max(compute, hbm)``: a 6-point on-chip sweep of the 131K-node/8M-nnz
+    probe matrix showed the slot-operand x DMAs do not hide under the MXU
+    contractions (measured ≈ mxu + x-dma + 0.1-2 µs/step within ~10% on
+    five of six geometries; the sixth, 8+ chunks/tile, benefits from
+    consecutive-step slot dedup the model conservatively ignores). The
+    serial sum correctly ranked (512,128) > (1024,512) > (1024,256) —
+    measured 247M/217M/222M edges/s — where a max() model had drifted to
+    oversized tiles.
     """
     import scipy.sparse as sp
 
@@ -88,17 +135,23 @@ def auto_geometry(csr, f: int = 64, dtype: str = "bf16",
     for t in tile_cands:
         ncb = -(-m // t)
         n_rb = -(-n // t)
-        counts = np.unique(row // t * ncb + col // t, return_counts=True)[1]
-        tiles = counts.size
+        vmem = (_K * t * F_TILE * xbytes * 2     # slot x tiles, dbl-buffered
+                + 2 * t * F_TILE * 4)            # output block
+        if vmem > _VMEM_BUDGET:
+            continue
+        uniq, counts = np.unique(row // t * ncb + col // t,
+                                 return_counts=True)
+        row_of_tile = uniq // ncb
         for e_b in e_b_cands:
-            chunks = int(np.sum(-(-counts // e_b))) + max(n_rb - tiles, 0)
-            compute = chunks * (_CHUNK_OVERHEAD_S
-                                + 4.0 * e_b * t * f_pad / mxu)
-            hbm = (tiles * t * f_pad * xbytes   # x tile per visited tile
+            chunks = _padded_chunk_count(row_of_tile, counts, n_rb, e_b)
+            steps = chunks // _K
+            compute = (steps * _STEP_OVERHEAD_S
+                       + chunks * 4.0 * e_b * t * f_pad / mxu)
+            hbm = (chunks * t * f_pad * xbytes  # x tile per chunk slot
                    + chunks * e_b * 12          # edge slots (rows/cols/vals)
                    + n_rb * t * f_pad * 4.0     # output flush, f32
                    ) / _HBM_RATE
-            cost = max(compute, hbm)
+            cost = compute + hbm
             if cost < best_cost:
                 best, best_cost = (t, e_b), cost
     return best
@@ -204,6 +257,27 @@ def build_chunk_tables(csr, tile: int = 512, e_b: int | None = 512):
     rows = rows.reshape(total, e_b)[order2]
     cols = cols.reshape(total, e_b)[order2]
     vals = vals.reshape(total, e_b)[order2]
+
+    # pad every tile row's chunk list to a multiple of _K: one grid step
+    # processes a _K-chunk block and writes ONE output tile row, so blocks
+    # must never straddle a row change. Fillers carry vals=0 (they
+    # accumulate nothing) and repeat the row's last tile col so a pure-
+    # filler block re-maps already-resident x tiles where possible.
+    counts_r = np.bincount(ctr, minlength=n_rb)  # >=1 per row (fillers)
+    pad_r = (-counts_r) % _K
+    if pad_r.any():
+        last = np.cumsum(counts_r) - 1           # each row's last chunk
+        fill_ctr = np.repeat(np.arange(n_rb, dtype=np.int32), pad_r)
+        fill_ctc = ctc[last][fill_ctr]
+        npad = len(fill_ctr)
+        ctr = np.concatenate([ctr, fill_ctr])
+        ctc = np.concatenate([ctc, fill_ctc])
+        rows = np.concatenate([rows, np.zeros((npad, e_b), np.int32)])
+        cols = np.concatenate([cols, np.zeros((npad, e_b), np.int32)])
+        vals = np.concatenate([vals, np.zeros((npad, e_b), np.float32)])
+        order3 = np.argsort(ctr, kind="stable")
+        ctr, ctc = ctr[order3], ctc[order3]
+        rows, cols, vals = rows[order3], cols[order3], vals[order3]
     return ctr, ctc, rows, cols, vals, n_rb, e_b
 
 
@@ -228,8 +302,10 @@ def build_cootile(csr, tile: int | None = None, e_b: int | None = None,
     ctr, ctc, rows, cols, vals, _, e_b = build_chunk_tables(csr, tile, e_b)
     total = len(ctr)
 
-    # segments: <= _MAX_CHUNKS each, cut only at tile-row boundaries,
-    # padded to a multiple of 8 chunks (edge blocks are DMA'd 8 at a time)
+    # segments: <= _MAX_CHUNKS each, cut only at tile-row boundaries. Per-
+    # row padding in build_chunk_tables makes every row's chunk count a
+    # multiple of _K, so every row-boundary cut (and thus every segment)
+    # stays _K-block aligned.
     row_starts = np.flatnonzero(np.diff(ctr, prepend=-1))
     segments = []
     lo = 0
@@ -247,21 +323,14 @@ def build_cootile(csr, tile: int | None = None, e_b: int | None = None,
                 nxt = row_starts[row_starts > lo]
                 hi = int(nxt[0]) if len(nxt) else total
         rb_lo, rb_hi = int(ctr[lo]), int(ctr[hi - 1]) + 1
-        pad8 = (-(hi - lo)) % 8
+        assert (hi - lo) % _K == 0
         sl = slice(lo, hi)
-
-        def padz(a, fill=0):
-            if pad8 == 0:
-                return a
-            z = np.full((pad8,) + a.shape[1:], fill, a.dtype)
-            return np.concatenate([a, z])
-
         segments.append(CooTileSegment(
-            ctr=jnp.asarray(padz(ctr[sl] - rb_lo, rb_hi - 1 - rb_lo)),
-            ctc=jnp.asarray(padz(ctc[sl])),
-            rows=jnp.asarray(padz(rows[sl])),
-            cols=jnp.asarray(padz(cols[sl])),
-            vals=jnp.asarray(padz(vals[sl])),
+            ctr=jnp.asarray(ctr[sl] - rb_lo),
+            ctc=jnp.asarray(ctc[sl]),
+            rows=jnp.asarray(rows[sl]),
+            cols=jnp.asarray(cols[sl]),
+            vals=jnp.asarray(vals[sl]),
             rb_lo=rb_lo, rb_hi=rb_hi,
         ))
         lo = hi
@@ -294,41 +363,44 @@ def _make_kernel(tile, e_b, compute_dtype):
 
     exact = compute_dtype == jnp.float32
 
-    def kernel(ctr_ref, ctc_ref, rows_ref, cols_ref, vals_ref, x_ref, o_ref):
-        i = pl.program_id(1)
-        prev = ctr_ref[jnp.maximum(i - 1, 0)]
-        first = jnp.logical_or(i == 0, ctr_ref[i] != prev)
+    def kernel(ctr_ref, ctc_ref, rows_ref, cols_ref, vals_ref, *xs_o):
+        xs, o_ref = xs_o[:_K], xs_o[_K]
+        i = pl.program_id(1)  # block index: chunks [_K*i, _K*(i+1))
+        prev = ctr_ref[jnp.maximum(_K * i - 1, 0)]
+        first = jnp.logical_or(i == 0, ctr_ref[_K * i] != prev)
 
-        sub = i % 8  # which chunk within the 8-chunk DMA block
-        cols = cols_ref[sub]
-        rows = rows_ref[sub]
-        vals = vals_ref[sub]
         iota_ec = jax.lax.broadcasted_iota(jnp.int32, (e_b, tile), 1)
         iota_te = jax.lax.broadcasted_iota(jnp.int32, (tile, e_b), 0)
-        col_oh = (cols[:, None] == iota_ec)
-        row_oh = (iota_te == rows[None, :])
-        if exact:
-            gathered = _onehot_dot_exact(col_oh.astype(jnp.bfloat16),
-                                         x_ref[...].astype(jnp.float32))
-            gathered = gathered * vals[:, None]
-            contrib = _onehot_dot_exact(row_oh.astype(jnp.bfloat16),
-                                        gathered)
-        else:
-            gathered = jnp.dot(col_oh.astype(jnp.bfloat16),
-                               x_ref[...].astype(jnp.bfloat16),
-                               preferred_element_type=jnp.float32)
-            gathered = gathered * vals[:, None]
-            contrib = jnp.dot(row_oh.astype(jnp.bfloat16),
-                              gathered.astype(jnp.bfloat16),
-                              preferred_element_type=jnp.float32)
+        acc = None
+        for k in range(_K):  # unrolled: one chunk per slot operand
+            cols = cols_ref[k]
+            rows = rows_ref[k]
+            vals = vals_ref[k]
+            col_oh = (cols[:, None] == iota_ec)
+            row_oh = (iota_te == rows[None, :])
+            if exact:
+                gathered = _onehot_dot_exact(col_oh.astype(jnp.bfloat16),
+                                             xs[k][...].astype(jnp.float32))
+                gathered = gathered * vals[:, None]
+                contrib = _onehot_dot_exact(row_oh.astype(jnp.bfloat16),
+                                            gathered)
+            else:
+                gathered = jnp.dot(col_oh.astype(jnp.bfloat16),
+                                   xs[k][...].astype(jnp.bfloat16),
+                                   preferred_element_type=jnp.float32)
+                gathered = gathered * vals[:, None]
+                contrib = jnp.dot(row_oh.astype(jnp.bfloat16),
+                                  gathered.astype(jnp.bfloat16),
+                                  preferred_element_type=jnp.float32)
+            acc = contrib if acc is None else acc + contrib
 
         @pl.when(first)
         def _():
-            o_ref[...] = contrib
+            o_ref[...] = acc
 
         @pl.when(jnp.logical_not(first))
         def _():
-            o_ref[...] = o_ref[...] + contrib
+            o_ref[...] = o_ref[...] + acc
 
     return kernel
 
@@ -342,20 +414,26 @@ def _seg_fn(nchunks, rb_span, tile, e_b, f_pad, dtype_name, interpret):
     from jax.experimental.pallas import tpu as pltpu
 
     compute_dtype = jnp.float32 if dtype_name == "float32" else jnp.bfloat16
-    grid = (f_pad // F_TILE, nchunks)
+    assert nchunks % _K == 0
+    grid = (f_pad // F_TILE, nchunks // _K)
+    x_specs = [
+        pl.BlockSpec((tile, F_TILE),
+                     lambda j, i, tr, tc, k=k: (tc[_K * i + k], j))
+        for k in range(_K)
+    ]
     return pl.pallas_call(
         _make_kernel(tile, e_b, compute_dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((8, e_b), lambda j, i, tr, tc: (i // 8, 0)),
-                pl.BlockSpec((8, e_b), lambda j, i, tr, tc: (i // 8, 0)),
-                pl.BlockSpec((8, e_b), lambda j, i, tr, tc: (i // 8, 0)),
-                pl.BlockSpec((tile, F_TILE), lambda j, i, tr, tc: (tc[i], j)),
+                pl.BlockSpec((_K, e_b), lambda j, i, tr, tc: (i, 0)),
+                pl.BlockSpec((_K, e_b), lambda j, i, tr, tc: (i, 0)),
+                pl.BlockSpec((_K, e_b), lambda j, i, tr, tc: (i, 0)),
+                *x_specs,
             ],
             out_specs=pl.BlockSpec((tile, F_TILE),
-                                   lambda j, i, tr, tc: (tr[i], j)),
+                                   lambda j, i, tr, tc: (tr[_K * i], j)),
         ),
         out_shape=jax.ShapeDtypeStruct((rb_span * tile, f_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -385,6 +463,9 @@ def cootile_spmm(ct: CooTile, x: jax.Array, *, precision: str = "highest",
     for seg in ct.segments:
         fn = _seg_fn(seg.ctr.shape[0], seg.rb_hi - seg.rb_lo, tile, e_b,
                      f_pad, dtype_name, interpret)
-        parts.append(fn(seg.ctr, seg.ctc, seg.rows, seg.cols, seg.vals, xp))
+        # the _K slot operands all view the same padded x; their BlockSpecs
+        # index different tiles (tc[_K*i+k]) per grid step
+        parts.append(fn(seg.ctr, seg.ctc, seg.rows, seg.cols, seg.vals,
+                        *([xp] * _K)))
     out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
     return out[: ct.n_rows, :f]
