@@ -60,6 +60,19 @@ _VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the ~16MB/core
 _MXU_RATE = {"bf16": 197e12, "f32": 197e12 / 3}
 _HBM_RATE = 819e9
 _STEP_OVERHEAD_S = 0.7e-6
+# experimental knob: (buffer_count, use_lookahead) for the x slot operands
+# (pl.Buffered multiple-buffering); None = pipeline default (double buffer).
+# NOTE: this jax's XLA pipeline emitter rejects buffer_count > 2 and
+# lookahead — kept for A/B probing on future runtimes.
+_X_BUFFERING = None
+# x-tile delivery: "slots" = 8 auto-pipelined BlockSpec operands (the
+# default); "manual" = in-kernel double-buffered async copies from HBM,
+# with block i+1's copies started before block i's waits. A/B on the v5e
+# (workbench/probe_xbuffering.py, 131K/8M probe): slots 264M vs manual
+# 242M edges/s at (512,128), 219M vs 208M at (1024,256) — the auto
+# pipeline's lookahead already hides the x DMAs better than the 2-deep
+# manual scheme, so "manual" stays an experimental knob only.
+_X_MODE = "slots"
 
 
 def _padded_chunk_count(row_of_tile, counts, n_rb, e_b) -> int:
@@ -358,7 +371,38 @@ def _onehot_dot_exact(oh_bf16, dense_f32):
     return acc
 
 
+def _block_compute(tile, e_b, exact, get_x, rows_ref, cols_ref, vals_ref):
+    """Sum of the 8 chunks' contributions to this block's output tile row.
+    ``get_x(k)`` yields chunk k's (tile, F_TILE) x tile."""
+    iota_ec = jax.lax.broadcasted_iota(jnp.int32, (e_b, tile), 1)
+    iota_te = jax.lax.broadcasted_iota(jnp.int32, (tile, e_b), 0)
+    acc = None
+    for k in range(_K):  # unrolled
+        cols = cols_ref[k]
+        rows = rows_ref[k]
+        vals = vals_ref[k]
+        col_oh = (cols[:, None] == iota_ec)
+        row_oh = (iota_te == rows[None, :])
+        if exact:
+            gathered = _onehot_dot_exact(col_oh.astype(jnp.bfloat16),
+                                         get_x(k).astype(jnp.float32))
+            gathered = gathered * vals[:, None]
+            contrib = _onehot_dot_exact(row_oh.astype(jnp.bfloat16),
+                                        gathered)
+        else:
+            gathered = jnp.dot(col_oh.astype(jnp.bfloat16),
+                               get_x(k).astype(jnp.bfloat16),
+                               preferred_element_type=jnp.float32)
+            gathered = gathered * vals[:, None]
+            contrib = jnp.dot(row_oh.astype(jnp.bfloat16),
+                              gathered.astype(jnp.bfloat16),
+                              preferred_element_type=jnp.float32)
+        acc = contrib if acc is None else acc + contrib
+    return acc
+
+
 def _make_kernel(tile, e_b, compute_dtype):
+    """Slot-operand variant: 8 auto-pipelined x BlockSpec operands."""
     from jax.experimental import pallas as pl
 
     exact = compute_dtype == jnp.float32
@@ -369,30 +413,67 @@ def _make_kernel(tile, e_b, compute_dtype):
         prev = ctr_ref[jnp.maximum(_K * i - 1, 0)]
         first = jnp.logical_or(i == 0, ctr_ref[_K * i] != prev)
 
-        iota_ec = jax.lax.broadcasted_iota(jnp.int32, (e_b, tile), 1)
-        iota_te = jax.lax.broadcasted_iota(jnp.int32, (tile, e_b), 0)
-        acc = None
-        for k in range(_K):  # unrolled: one chunk per slot operand
-            cols = cols_ref[k]
-            rows = rows_ref[k]
-            vals = vals_ref[k]
-            col_oh = (cols[:, None] == iota_ec)
-            row_oh = (iota_te == rows[None, :])
-            if exact:
-                gathered = _onehot_dot_exact(col_oh.astype(jnp.bfloat16),
-                                             xs[k][...].astype(jnp.float32))
-                gathered = gathered * vals[:, None]
-                contrib = _onehot_dot_exact(row_oh.astype(jnp.bfloat16),
-                                            gathered)
-            else:
-                gathered = jnp.dot(col_oh.astype(jnp.bfloat16),
-                                   xs[k][...].astype(jnp.bfloat16),
-                                   preferred_element_type=jnp.float32)
-                gathered = gathered * vals[:, None]
-                contrib = jnp.dot(row_oh.astype(jnp.bfloat16),
-                                  gathered.astype(jnp.bfloat16),
-                                  preferred_element_type=jnp.float32)
-            acc = contrib if acc is None else acc + contrib
+        acc = _block_compute(tile, e_b, exact, lambda k: xs[k][...],
+                             rows_ref, cols_ref, vals_ref)
+
+        @pl.when(first)
+        def _():
+            o_ref[...] = acc
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            o_ref[...] = o_ref[...] + acc
+
+    return kernel
+
+
+def _make_kernel_manual(tile, e_b, compute_dtype):
+    """Manual-DMA variant: x stays in HBM (``memory_space=ANY``, shaped
+    ``[ncb, tile, f_pad]``); the kernel double-buffers each block's 8 x
+    tiles through VMEM scratch with explicit async copies, starting block
+    i+1's copies before block i's waits. Measured SLOWER than the
+    auto-pipelined slot operands on the v5e (242M vs 264M edges/s at
+    (512,128) — see ``_X_MODE``); kept as an experimental path for
+    runtimes where the pipeline emitter schedules slot DMAs serially."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    exact = compute_dtype == jnp.float32
+
+    def kernel(ctr_ref, ctc_ref, rows_ref, cols_ref, vals_ref, x_hbm,
+               o_ref, x_buf, sems):
+        i = pl.program_id(1)
+        j = pl.program_id(0)
+        nsteps = pl.num_programs(1)
+        prev = ctr_ref[jnp.maximum(_K * i - 1, 0)]
+        first = jnp.logical_or(i == 0, ctr_ref[_K * i] != prev)
+
+        def copy(b, k, slot):
+            tc = ctc_ref[_K * b + k]
+            return pltpu.make_async_copy(
+                x_hbm.at[tc, :, pl.ds(j * F_TILE, F_TILE)],
+                x_buf.at[slot, k],
+                sems.at[slot, k],
+            )
+
+        def start_block(b, slot):
+            for k in range(_K):
+                copy(b, k, slot).start()
+
+        @pl.when(i == 0)
+        def _():
+            start_block(0, 0)
+
+        @pl.when(i + 1 < nsteps)
+        def _():
+            start_block(i + 1, (i + 1) % 2)
+
+        slot = i % 2
+        for k in range(_K):
+            copy(i, k, slot).wait()
+
+        acc = _block_compute(tile, e_b, exact, lambda k: x_buf[slot, k],
+                             rows_ref, cols_ref, vals_ref)
 
         @pl.when(first)
         def _():
@@ -406,7 +487,8 @@ def _make_kernel(tile, e_b, compute_dtype):
 
 
 @functools.lru_cache(maxsize=None)
-def _seg_fn(nchunks, rb_span, tile, e_b, f_pad, dtype_name, interpret):
+def _seg_fn(nchunks, rb_span, tile, e_b, f_pad, dtype_name, interpret,
+            x_mode="slots"):
     """Cached pallas_call construction — a fresh pallas_call per invocation
     would defeat jax's compile cache (new closure identity => new trace =>
     seconds of recompile per call)."""
@@ -414,26 +496,43 @@ def _seg_fn(nchunks, rb_span, tile, e_b, f_pad, dtype_name, interpret):
     from jax.experimental.pallas import tpu as pltpu
 
     compute_dtype = jnp.float32 if dtype_name == "float32" else jnp.bfloat16
+    x_dtype = jnp.float32 if dtype_name == "float32" else jnp.bfloat16
     assert nchunks % _K == 0
     grid = (f_pad // F_TILE, nchunks // _K)
-    x_specs = [
-        pl.BlockSpec((tile, F_TILE),
-                     lambda j, i, tr, tc, k=k: (tc[_K * i + k], j))
-        for k in range(_K)
+    edge_specs = [
+        pl.BlockSpec((_K, e_b), lambda j, i, tr, tc: (i, 0)),
+        pl.BlockSpec((_K, e_b), lambda j, i, tr, tc: (i, 0)),
+        pl.BlockSpec((_K, e_b), lambda j, i, tr, tc: (i, 0)),
     ]
+    out_spec = pl.BlockSpec((tile, F_TILE),
+                            lambda j, i, tr, tc: (tr[_K * i], j))
+    if x_mode == "manual":
+        kernel = _make_kernel_manual(tile, e_b, compute_dtype)
+        in_specs = edge_specs + [pl.BlockSpec(memory_space=pltpu.ANY)]
+        scratch = [
+            pltpu.VMEM((2, _K, tile, F_TILE), x_dtype),
+            pltpu.SemaphoreType.DMA((2, _K)),
+        ]
+    else:
+        x_kw = {}
+        if _X_BUFFERING is not None:
+            x_kw["pipeline_mode"] = pl.Buffered(*_X_BUFFERING)
+        kernel = _make_kernel(tile, e_b, compute_dtype)
+        in_specs = edge_specs + [
+            pl.BlockSpec((tile, F_TILE),
+                         lambda j, i, tr, tc, k=k: (tc[_K * i + k], j),
+                         **x_kw)
+            for k in range(_K)
+        ]
+        scratch = []
     return pl.pallas_call(
-        _make_kernel(tile, e_b, compute_dtype),
+        kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((_K, e_b), lambda j, i, tr, tc: (i, 0)),
-                pl.BlockSpec((_K, e_b), lambda j, i, tr, tc: (i, 0)),
-                pl.BlockSpec((_K, e_b), lambda j, i, tr, tc: (i, 0)),
-                *x_specs,
-            ],
-            out_specs=pl.BlockSpec((tile, F_TILE),
-                                   lambda j, i, tr, tc: (tr[_K * i], j)),
+            in_specs=in_specs,
+            out_specs=out_spec,
+            scratch_shapes=scratch,
         ),
         out_shape=jax.ShapeDtypeStruct((rb_span * tile, f_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -459,13 +558,20 @@ def cootile_spmm(ct: CooTile, x: jax.Array, *, precision: str = "highest",
         # them. f32 accumulation is unchanged — same contract as the
         # dense/BSR backends' bf16 payload mode.
         xp = xp.astype(jnp.bfloat16)
+    x_mode = _X_MODE
+    if x_mode == "manual":
+        # HBM-resident tile stack for the kernel's explicit async copies
+        xr = xp.reshape(m_pad // tile, tile, f_pad)
+        x_args = (xr,)
+    else:
+        # the _K slot operands all view the same padded x; their BlockSpecs
+        # index different tiles (tc[_K*i+k]) per grid step
+        x_args = (xp,) * _K
     parts = []
     for seg in ct.segments:
         fn = _seg_fn(seg.ctr.shape[0], seg.rb_hi - seg.rb_lo, tile, e_b,
-                     f_pad, dtype_name, interpret)
-        # the _K slot operands all view the same padded x; their BlockSpecs
-        # index different tiles (tc[_K*i+k]) per grid step
+                     f_pad, dtype_name, interpret, x_mode)
         parts.append(fn(seg.ctr, seg.ctc, seg.rows, seg.cols, seg.vals,
-                        *([xp] * _K)))
+                        *x_args))
     out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
     return out[: ct.n_rows, :f]

@@ -61,6 +61,25 @@ def test_cootile_interpret_matches_scipy(shape, density):
     np.testing.assert_allclose(y, a @ x, rtol=1e-5, atol=1e-5)
 
 
+def test_cootile_manual_dma_mode_matches_scipy(monkeypatch):
+    """The experimental manual-DMA x delivery (in-kernel double-buffered
+    async copies, _X_MODE='manual') must match the slot-operand default
+    bit-for-contract: same f32 accumulation, same output."""
+    import h2gcn_tpu.sparse.pallas_cootile as pc
+
+    a = _rand(500, 500, 0.02, 21)
+    x = np.random.default_rng(3).standard_normal((500, 48)).astype(np.float32)
+    ct = build_cootile(a, tile=128, e_b=64)
+    monkeypatch.setattr(pc, "_X_MODE", "manual")
+    y = np.asarray(pc.cootile_spmm(ct, jnp.asarray(x), precision="highest",
+                                   interpret=True))
+    np.testing.assert_allclose(y, a @ x, rtol=1e-5, atol=1e-5)
+    yb = np.asarray(pc.cootile_spmm(ct, jnp.asarray(x), precision="default",
+                                    interpret=True))
+    rel = np.abs(yb - a @ x).max() / np.abs(a @ x).max()
+    assert rel < 2e-2
+
+
 def test_cootile_empty_row_band_is_zero():
     a = _rand(400, 400, 0.02, 3, empty_row_band=(128, 256))
     x = np.random.default_rng(0).standard_normal((400, 16)).astype(np.float32)
