@@ -60,6 +60,10 @@ _VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the ~16MB/core
 _MXU_RATE = {"bf16": 197e12, "f32": 197e12 / 3}
 _HBM_RATE = 819e9
 _STEP_OVERHEAD_S = 0.7e-6
+# Fraction of the x-tile DMA time the 8-chunk-block pipeline hides under
+# the MXU contractions — fit on two on-chip sweeps (250K Â₂ + 131K probe,
+# see auto_geometry's docstring); 0 recovers the serial one-chunk model.
+_X_HIDE_FRAC = 0.55
 # experimental knob: (buffer_count, use_lookahead) for the x slot operands
 # (pl.Buffered multiple-buffering); None = pipeline default (double buffer).
 # NOTE: this jax's XLA pipeline emitter rejects buffer_count > 2 and
@@ -125,15 +129,18 @@ def auto_geometry(csr, f: int = 64, dtype: str = "bf16",
     exceed the VMEM budget (8 double-buffered x tiles + the output block)
     are skipped.
 
-    The per-geometry cost is ``compute + hbm`` (serial), NOT
-    ``max(compute, hbm)``: a 6-point on-chip sweep of the 131K-node/8M-nnz
-    probe matrix showed the slot-operand x DMAs do not hide under the MXU
-    contractions (measured ≈ mxu + x-dma + 0.1-2 µs/step within ~10% on
-    five of six geometries; the sixth, 8+ chunks/tile, benefits from
-    consecutive-step slot dedup the model conservatively ignores). The
-    serial sum correctly ranked (512,128) > (1024,512) > (1024,256) —
-    measured 247M/217M/222M edges/s — where a max() model had drifted to
-    oversized tiles.
+    The per-geometry cost is ``mxu + step + (1-_X_HIDE_FRAC)·x_dma +
+    edge_dma + out_flush``. With the one-chunk-per-step kernel the x DMAs
+    were fully serial (a pure sum model calibrated within ~10%); the
+    8-chunk-block kernel overlaps them partially — two on-chip sweeps
+    (250K/25M-nnz Â₂, six geometries, and the 131K/8M probe) fit
+    ``measured ≈ mxu + step + 0.45·x_dma`` to within 4-10% and reproduce
+    the measured ranking exactly, where the serial sum wrongly preferred
+    (1024,256) over the measured-best (512,128) (205M vs 225M edges/s at
+    250K). Neither a pure ``max()`` (drifts to oversized tiles) nor a pure
+    sum survives contact with the pipeline's actual schedule; the hidden
+    fraction is an empirical v5e constant — re-fit it via
+    workbench/geo_sweep.py on other generations.
     """
     import scipy.sparse as sp
 
@@ -160,11 +167,11 @@ def auto_geometry(csr, f: int = 64, dtype: str = "bf16",
             steps = chunks // _K
             compute = (steps * _STEP_OVERHEAD_S
                        + chunks * 4.0 * e_b * t * f_pad / mxu)
-            hbm = (chunks * t * f_pad * xbytes  # x tile per chunk slot
-                   + chunks * e_b * 12          # edge slots (rows/cols/vals)
+            x_dma = chunks * t * f_pad * xbytes / _HBM_RATE
+            hbm = (chunks * e_b * 12            # edge slots (rows/cols/vals)
                    + n_rb * t * f_pad * 4.0     # output flush, f32
                    ) / _HBM_RATE
-            cost = compute + hbm
+            cost = compute + (1.0 - _X_HIDE_FRAC) * x_dma + hbm
             if cost < best_cost:
                 best, best_cost = (t, e_b), cost
     return best
