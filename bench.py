@@ -122,9 +122,9 @@ def spmm_bytes(backend, tag, a_sp, n, f, feature_tile=128):
         from h2gcn_tpu.sparse.pallas_cootile import (auto_geometry,
                                                      model_chunk_count)
 
-        tile, e_b = auto_geometry(a_sp, f=f,
-                                  dtype="bf16" if tag == "bf16" else "f32")
-        chunks = model_chunk_count(a_sp, tile, e_b)
+        tile, e_b, kb = auto_geometry(a_sp, f=f,
+                                      dtype="bf16" if tag == "bf16" else "f32")
+        chunks = model_chunk_count(a_sp, tile, e_b, kb)
         return (chunks * e_b * 12 + chunks * tile * feature_tile * x_item
                 + out_bytes)
     # segment: edge vals + per-edge gather of an f-wide row + scatter-accum

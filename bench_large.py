@@ -220,8 +220,8 @@ def main():
                                              precision=prec)
                 built[f"{label}/{tag}"] = (k1, k2, p1, p2)
                 geo[f"{label}/{tag}"] = {
-                    "hop1": (k1.coot.tile, k1.coot.e_b),
-                    "hop2": (k2.coot.tile, k2.coot.e_b)}
+                    "hop1": (k1.coot.tile, k1.coot.e_b, k1.coot.kb),
+                    "hop2": (k2.coot.tile, k2.coot.e_b, k2.coot.kb)}
         report["cootile_build_s"] = time.perf_counter() - t0
         report["cootile_geometry"] = geo
         for key, (k1, k2, p1, p2) in built.items():

@@ -15,21 +15,23 @@ payload. Replaces the reference's ``tf.sparse.sparse_dense_matmul``
 (h2gcn/models/_layers.py:78-81) in the regime the reference could never
 reach single-device.
 
-Geometry: tiles are ``T×T``, chunks hold ``E_B`` edges (both picked per
-matrix by :func:`auto_geometry`'s measured two-roof cost model), and chunk
-metadata (tile row/col per chunk) rides the scalar-prefetch SMEM path.
-One grid step processes one ``_K``-chunk block — the same 8-chunk
-granularity the edge data is DMA'd at. A v5e probe
+Geometry: tiles are ``T×T``, chunks hold ``E_B`` edges, and one grid step
+processes a ``KB``-chunk block — all three picked per matrix by
+:func:`auto_geometry`'s measured two-roof cost model; chunk metadata
+(tile row/col per chunk) rides the scalar-prefetch SMEM path. A v5e probe
 (workbench/probe_step_overhead.py) showed ~0.63 µs of FIXED cost per grid
 step (DMA descriptors + scalar bookkeeping; the mask build and MXU dots
-add only ~0.64 µs combined), so amortizing the step cost over 8 chunks
-nearly halves per-edge time at scale. The 8 chunks of a block must share
-one output tile row; :func:`build_chunk_tables` pads every tile row's
-chunk list to a multiple of ``_K`` with zero-valued filler chunks. Each
-chunk's x tile arrives through its own slot operand (8 ``BlockSpec``
-entries indexed ``tc[8i+k]``). SMEM is ~1MB, so the chunk list is split into
-segments of ≤``_MAX_CHUNKS`` cut at tile-row boundaries — each segment is
-its own ``pallas_call`` writing a disjoint output row range.
+add only ~0.64 µs combined), and the per-step cost stays ~0.5-0.7 µs as
+the block deepens (workbench/probe_kb.py), so deeper blocks amortize it
+almost linearly: the 250K-node Â₂ measured 227M → 266M → 289M edges/s at
+kb = 8/16/32, with kb bounded by the VMEM the double-buffered slot x
+tiles occupy. All kb chunks of a block must share one output tile row;
+:func:`build_chunk_tables` pads every tile row's chunk list to a
+multiple of ``kb`` with zero-valued filler chunks. Each chunk's x tile
+arrives through its own slot operand (kb ``BlockSpec`` entries indexed
+``tc[kb·i+k]``). SMEM is ~1MB, so the chunk list is split into segments
+of ≤``_MAX_CHUNKS`` cut at tile-row boundaries — each segment is its own
+``pallas_call`` writing a disjoint output row range.
 """
 
 from __future__ import annotations
@@ -43,7 +45,7 @@ import numpy as np
 from flax import struct
 
 F_TILE = 128
-_K = 8  # chunks per grid step == chunks per DMA'd edge block
+_K = 8  # default chunks per grid step (kb); auto_geometry picks 8/16/32
 _MAX_CHUNKS = 64 * 1024  # scalar-prefetch budget: 8B/chunk, SMEM ~1MB
 _VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the ~16MB/core
 
@@ -79,17 +81,17 @@ _X_BUFFERING = None
 _X_MODE = "slots"
 
 
-def _padded_chunk_count(row_of_tile, counts, n_rb, e_b) -> int:
+def _padded_chunk_count(row_of_tile, counts, n_rb, e_b, kb=_K) -> int:
     """Chunks :func:`build_chunk_tables` emits: per-tile ceil division,
-    every tile row padded to a multiple of ``_K`` (empty rows get one full
+    every tile row padded to a multiple of ``kb`` (empty rows get one full
     filler block). Shared by the cost model and the bench byte models."""
     per_row = np.bincount(row_of_tile, weights=-(-counts // e_b),
                           minlength=n_rb)
-    per_row = np.where(per_row == 0, _K, -(-per_row // _K) * _K)
+    per_row = np.where(per_row == 0, kb, -(-per_row // kb) * kb)
     return int(per_row.sum())
 
 
-def model_chunk_count(csr, tile: int, e_b: int) -> int:
+def model_chunk_count(csr, tile: int, e_b: int, kb: int = _K) -> int:
     """:func:`_padded_chunk_count` from a scipy matrix (bench roofline)."""
     import scipy.sparse as sp
 
@@ -99,13 +101,14 @@ def model_chunk_count(csr, tile: int, e_b: int) -> int:
     uniq, counts = np.unique(
         coo.row.astype(np.int64) // tile * ncb + coo.col // tile,
         return_counts=True)
-    return _padded_chunk_count(uniq // ncb, counts, n_rb, e_b)
+    return _padded_chunk_count(uniq // ncb, counts, n_rb, e_b, kb)
 
 
 def auto_geometry(csr, f: int = 64, dtype: str = "bf16",
                   tile_cands=(256, 512, 1024, 2048),
-                  e_b_cands=(128, 256, 512)) -> Tuple[int, int]:
-    """Pick ``(tile, e_b)`` minimizing a two-roof cost model.
+                  e_b_cands=(128, 256, 512),
+                  kb_cands=(8, 16, 32)) -> Tuple[int, int, int]:
+    """Pick ``(tile, e_b, kb)`` minimizing a two-roof cost model.
 
     Per chunk the kernel spends ``4·e_b·tile·f_pad`` MXU FLOPs (two one-hot
     contractions) and the HBM side pays one ``tile×f_pad`` x-tile read per
@@ -151,29 +154,33 @@ def auto_geometry(csr, f: int = 64, dtype: str = "bf16",
     mxu = _MXU_RATE[dtype]
     row = coo.row.astype(np.int64)
     col = coo.col.astype(np.int64)
-    best, best_cost = (512, 512), np.inf
+    best, best_cost = (512, 512, _K), np.inf
     for t in tile_cands:
         ncb = -(-m // t)
         n_rb = -(-n // t)
-        vmem = (_K * t * F_TILE * xbytes * 2     # slot x tiles, dbl-buffered
-                + 2 * t * F_TILE * 4)            # output block
-        if vmem > _VMEM_BUDGET:
-            continue
-        uniq, counts = np.unique(row // t * ncb + col // t,
-                                 return_counts=True)
-        row_of_tile = uniq // ncb
-        for e_b in e_b_cands:
-            chunks = _padded_chunk_count(row_of_tile, counts, n_rb, e_b)
-            steps = chunks // _K
-            compute = (steps * _STEP_OVERHEAD_S
-                       + chunks * 4.0 * e_b * t * f_pad / mxu)
-            x_dma = chunks * t * f_pad * xbytes / _HBM_RATE
-            hbm = (chunks * e_b * 12            # edge slots (rows/cols/vals)
-                   + n_rb * t * f_pad * 4.0     # output flush, f32
-                   ) / _HBM_RATE
-            cost = compute + (1.0 - _X_HIDE_FRAC) * x_dma + hbm
-            if cost < best_cost:
-                best, best_cost = (t, e_b), cost
+        uniq = counts = row_of_tile = None
+        for kb in kb_cands:
+            vmem = (kb * t * F_TILE * xbytes * 2  # slot x tiles, dbl-buffered
+                    + 2 * t * F_TILE * 4)         # output block
+            if vmem > _VMEM_BUDGET:
+                continue
+            if uniq is None:
+                uniq, counts = np.unique(row // t * ncb + col // t,
+                                         return_counts=True)
+                row_of_tile = uniq // ncb
+            for e_b in e_b_cands:
+                chunks = _padded_chunk_count(row_of_tile, counts, n_rb, e_b,
+                                             kb)
+                steps = chunks // kb
+                compute = (steps * _STEP_OVERHEAD_S
+                           + chunks * 4.0 * e_b * t * f_pad / mxu)
+                x_dma = chunks * t * f_pad * xbytes / _HBM_RATE
+                hbm = (chunks * e_b * 12        # edge slots (rows/cols/vals)
+                       + n_rb * t * f_pad * 4.0  # output flush, f32
+                       ) / _HBM_RATE
+                cost = compute + (1.0 - _X_HIDE_FRAC) * x_dma + hbm
+                if cost < best_cost:
+                    best, best_cost = (t, e_b, kb), cost
     return best
 
 
@@ -208,9 +215,11 @@ class CooTile:
     e_b: int = struct.field(pytree_node=False)
     n_rows: int = struct.field(pytree_node=False)
     n_cols: int = struct.field(pytree_node=False)
+    kb: int = struct.field(pytree_node=False, default=_K)
 
 
-def build_chunk_tables(csr, tile: int = 512, e_b: int | None = 512):
+def build_chunk_tables(csr, tile: int = 512, e_b: int | None = 512,
+                       kb: int = _K):
     """Host prep (fully vectorized, numpy-only): sort edges by
     (tile_row, tile_col), chunk to fixed ``E_B`` groups, and add filler
     chunks so every tile row initializes its output block.
@@ -278,13 +287,13 @@ def build_chunk_tables(csr, tile: int = 512, e_b: int | None = 512):
     cols = cols.reshape(total, e_b)[order2]
     vals = vals.reshape(total, e_b)[order2]
 
-    # pad every tile row's chunk list to a multiple of _K: one grid step
-    # processes a _K-chunk block and writes ONE output tile row, so blocks
+    # pad every tile row's chunk list to a multiple of kb: one grid step
+    # processes a kb-chunk block and writes ONE output tile row, so blocks
     # must never straddle a row change. Fillers carry vals=0 (they
     # accumulate nothing) and repeat the row's last tile col so a pure-
     # filler block re-maps already-resident x tiles where possible.
     counts_r = np.bincount(ctr, minlength=n_rb)  # >=1 per row (fillers)
-    pad_r = (-counts_r) % _K
+    pad_r = (-counts_r) % kb
     if pad_r.any():
         last = np.cumsum(counts_r) - 1           # each row's last chunk
         fill_ctr = np.repeat(np.arange(n_rb, dtype=np.int32), pad_r)
@@ -302,7 +311,7 @@ def build_chunk_tables(csr, tile: int = 512, e_b: int | None = 512):
 
 
 def build_cootile(csr, tile: int | None = None, e_b: int | None = None,
-                  dtype: str = "bf16") -> CooTile:
+                  dtype: str = "bf16", kb: int | None = None) -> CooTile:
     """Chunk tables (:func:`build_chunk_tables`) → SMEM-budget segments,
     staged on device ONCE. ``tile=None`` picks the full ``(tile, e_b)``
     geometry from :func:`auto_geometry`'s two-roof cost model (``dtype``
@@ -315,17 +324,27 @@ def build_cootile(csr, tile: int | None = None, e_b: int | None = None,
     csr = sp.csr_matrix(csr)
     n, m = csr.shape
     if tile is None:
-        auto_t, auto_eb = auto_geometry(csr, dtype=dtype)
+        auto_t, auto_eb, auto_kb = auto_geometry(csr, dtype=dtype)
         tile = auto_t
         if e_b is None:
             e_b = auto_eb
-    ctr, ctc, rows, cols, vals, _, e_b = build_chunk_tables(csr, tile, e_b)
+        if kb is None:
+            kb = auto_kb
+    if kb is None:
+        # explicit tile, no kb: deepest block whose double-buffered slot
+        # x tiles stay inside the VMEM budget (step cost amortizes ~kb x)
+        xbytes = 2 if dtype == "bf16" else 4
+        kb = max((k for k in (8, 16, 32)
+                  if k * tile * F_TILE * xbytes * 2
+                  + 2 * tile * F_TILE * 4 <= _VMEM_BUDGET), default=8)
+    ctr, ctc, rows, cols, vals, _, e_b = build_chunk_tables(csr, tile, e_b,
+                                                            kb)
     total = len(ctr)
 
     # segments: <= _MAX_CHUNKS each, cut only at tile-row boundaries. Per-
     # row padding in build_chunk_tables makes every row's chunk count a
-    # multiple of _K, so every row-boundary cut (and thus every segment)
-    # stays _K-block aligned.
+    # multiple of kb, so every row-boundary cut (and thus every segment)
+    # stays kb-block aligned.
     row_starts = np.flatnonzero(np.diff(ctr, prepend=-1))
     segments = []
     lo = 0
@@ -343,7 +362,7 @@ def build_cootile(csr, tile: int | None = None, e_b: int | None = None,
                 nxt = row_starts[row_starts > lo]
                 hi = int(nxt[0]) if len(nxt) else total
         rb_lo, rb_hi = int(ctr[lo]), int(ctr[hi - 1]) + 1
-        assert (hi - lo) % _K == 0
+        assert (hi - lo) % kb == 0
         sl = slice(lo, hi)
         segments.append(CooTileSegment(
             ctr=jnp.asarray(ctr[sl] - rb_lo),
@@ -355,7 +374,7 @@ def build_cootile(csr, tile: int | None = None, e_b: int | None = None,
         ))
         lo = hi
     return CooTile(segments=tuple(segments), tile=tile, e_b=e_b,
-                   n_rows=n, n_cols=m)
+                   n_rows=n, n_cols=m, kb=kb)
 
 
 def _onehot_dot_exact(oh_bf16, dense_f32):
@@ -378,13 +397,14 @@ def _onehot_dot_exact(oh_bf16, dense_f32):
     return acc
 
 
-def _block_compute(tile, e_b, exact, get_x, rows_ref, cols_ref, vals_ref):
-    """Sum of the 8 chunks' contributions to this block's output tile row.
-    ``get_x(k)`` yields chunk k's (tile, F_TILE) x tile."""
+def _block_compute(tile, e_b, exact, get_x, rows_ref, cols_ref, vals_ref,
+                   kb=_K):
+    """Sum of the block's ``kb`` chunks' contributions to its output tile
+    row. ``get_x(k)`` yields chunk k's (tile, F_TILE) x tile."""
     iota_ec = jax.lax.broadcasted_iota(jnp.int32, (e_b, tile), 1)
     iota_te = jax.lax.broadcasted_iota(jnp.int32, (tile, e_b), 0)
     acc = None
-    for k in range(_K):  # unrolled
+    for k in range(kb):  # unrolled
         cols = cols_ref[k]
         rows = rows_ref[k]
         vals = vals_ref[k]
@@ -408,20 +428,20 @@ def _block_compute(tile, e_b, exact, get_x, rows_ref, cols_ref, vals_ref):
     return acc
 
 
-def _make_kernel(tile, e_b, compute_dtype):
-    """Slot-operand variant: 8 auto-pipelined x BlockSpec operands."""
+def _make_kernel(tile, e_b, compute_dtype, kb=_K):
+    """Slot-operand variant: ``kb`` auto-pipelined x BlockSpec operands."""
     from jax.experimental import pallas as pl
 
     exact = compute_dtype == jnp.float32
 
     def kernel(ctr_ref, ctc_ref, rows_ref, cols_ref, vals_ref, *xs_o):
-        xs, o_ref = xs_o[:_K], xs_o[_K]
-        i = pl.program_id(1)  # block index: chunks [_K*i, _K*(i+1))
-        prev = ctr_ref[jnp.maximum(_K * i - 1, 0)]
-        first = jnp.logical_or(i == 0, ctr_ref[_K * i] != prev)
+        xs, o_ref = xs_o[:kb], xs_o[kb]
+        i = pl.program_id(1)  # block index: chunks [kb*i, kb*(i+1))
+        prev = ctr_ref[jnp.maximum(kb * i - 1, 0)]
+        first = jnp.logical_or(i == 0, ctr_ref[kb * i] != prev)
 
         acc = _block_compute(tile, e_b, exact, lambda k: xs[k][...],
-                             rows_ref, cols_ref, vals_ref)
+                             rows_ref, cols_ref, vals_ref, kb)
 
         @pl.when(first)
         def _():
@@ -434,7 +454,7 @@ def _make_kernel(tile, e_b, compute_dtype):
     return kernel
 
 
-def _make_kernel_manual(tile, e_b, compute_dtype):
+def _make_kernel_manual(tile, e_b, compute_dtype, kb=_K):
     """Manual-DMA variant: x stays in HBM (``memory_space=ANY``, shaped
     ``[ncb, tile, f_pad]``); the kernel double-buffers each block's 8 x
     tiles through VMEM scratch with explicit async copies, starting block
@@ -452,11 +472,11 @@ def _make_kernel_manual(tile, e_b, compute_dtype):
         i = pl.program_id(1)
         j = pl.program_id(0)
         nsteps = pl.num_programs(1)
-        prev = ctr_ref[jnp.maximum(_K * i - 1, 0)]
-        first = jnp.logical_or(i == 0, ctr_ref[_K * i] != prev)
+        prev = ctr_ref[jnp.maximum(kb * i - 1, 0)]
+        first = jnp.logical_or(i == 0, ctr_ref[kb * i] != prev)
 
         def copy(b, k, slot):
-            tc = ctc_ref[_K * b + k]
+            tc = ctc_ref[kb * b + k]
             return pltpu.make_async_copy(
                 x_hbm.at[tc, :, pl.ds(j * F_TILE, F_TILE)],
                 x_buf.at[slot, k],
@@ -464,7 +484,7 @@ def _make_kernel_manual(tile, e_b, compute_dtype):
             )
 
         def start_block(b, slot):
-            for k in range(_K):
+            for k in range(kb):
                 copy(b, k, slot).start()
 
         @pl.when(i == 0)
@@ -476,11 +496,11 @@ def _make_kernel_manual(tile, e_b, compute_dtype):
             start_block(i + 1, (i + 1) % 2)
 
         slot = i % 2
-        for k in range(_K):
+        for k in range(kb):
             copy(i, k, slot).wait()
 
         acc = _block_compute(tile, e_b, exact, lambda k: x_buf[slot, k],
-                             rows_ref, cols_ref, vals_ref)
+                             rows_ref, cols_ref, vals_ref, kb)
 
         @pl.when(first)
         def _():
@@ -495,7 +515,7 @@ def _make_kernel_manual(tile, e_b, compute_dtype):
 
 @functools.lru_cache(maxsize=None)
 def _seg_fn(nchunks, rb_span, tile, e_b, f_pad, dtype_name, interpret,
-            x_mode="slots"):
+            x_mode="slots", kb=_K):
     """Cached pallas_call construction — a fresh pallas_call per invocation
     would defeat jax's compile cache (new closure identity => new trace =>
     seconds of recompile per call)."""
@@ -504,32 +524,32 @@ def _seg_fn(nchunks, rb_span, tile, e_b, f_pad, dtype_name, interpret,
 
     compute_dtype = jnp.float32 if dtype_name == "float32" else jnp.bfloat16
     x_dtype = jnp.float32 if dtype_name == "float32" else jnp.bfloat16
-    assert nchunks % _K == 0
-    grid = (f_pad // F_TILE, nchunks // _K)
+    assert nchunks % kb == 0
+    grid = (f_pad // F_TILE, nchunks // kb)
     edge_specs = [
-        pl.BlockSpec((_K, e_b), lambda j, i, tr, tc: (i, 0)),
-        pl.BlockSpec((_K, e_b), lambda j, i, tr, tc: (i, 0)),
-        pl.BlockSpec((_K, e_b), lambda j, i, tr, tc: (i, 0)),
+        pl.BlockSpec((kb, e_b), lambda j, i, tr, tc: (i, 0)),
+        pl.BlockSpec((kb, e_b), lambda j, i, tr, tc: (i, 0)),
+        pl.BlockSpec((kb, e_b), lambda j, i, tr, tc: (i, 0)),
     ]
     out_spec = pl.BlockSpec((tile, F_TILE),
-                            lambda j, i, tr, tc: (tr[_K * i], j))
+                            lambda j, i, tr, tc: (tr[kb * i], j))
     if x_mode == "manual":
-        kernel = _make_kernel_manual(tile, e_b, compute_dtype)
+        kernel = _make_kernel_manual(tile, e_b, compute_dtype, kb)
         in_specs = edge_specs + [pl.BlockSpec(memory_space=pltpu.ANY)]
         scratch = [
-            pltpu.VMEM((2, _K, tile, F_TILE), x_dtype),
-            pltpu.SemaphoreType.DMA((2, _K)),
+            pltpu.VMEM((2, kb, tile, F_TILE), x_dtype),
+            pltpu.SemaphoreType.DMA((2, kb)),
         ]
     else:
         x_kw = {}
         if _X_BUFFERING is not None:
             x_kw["pipeline_mode"] = pl.Buffered(*_X_BUFFERING)
-        kernel = _make_kernel(tile, e_b, compute_dtype)
+        kernel = _make_kernel(tile, e_b, compute_dtype, kb)
         in_specs = edge_specs + [
             pl.BlockSpec((tile, F_TILE),
-                         lambda j, i, tr, tc, k=k: (tc[_K * i + k], j),
+                         lambda j, i, tr, tc, k=k: (tc[kb * i + k], j),
                          **x_kw)
-            for k in range(_K)
+            for k in range(kb)
         ]
         scratch = []
     return pl.pallas_call(
@@ -551,7 +571,7 @@ def _seg_fn(nchunks, rb_span, tile, e_b, f_pad, dtype_name, interpret,
 def cootile_spmm(ct: CooTile, x: jax.Array, *, precision: str = "highest",
                  interpret: bool = False) -> jax.Array:
     """``A @ x`` for a :class:`CooTile`. ``x``: [m, F] → [n, F] float32."""
-    tile, e_b = ct.tile, ct.e_b
+    tile, e_b, kb = ct.tile, ct.e_b, ct.kb
     m, f = x.shape
     f_pad = max(F_TILE, -(-f // F_TILE) * F_TILE)
     m_pad = -(-m // tile) * tile
@@ -571,13 +591,13 @@ def cootile_spmm(ct: CooTile, x: jax.Array, *, precision: str = "highest",
         xr = xp.reshape(m_pad // tile, tile, f_pad)
         x_args = (xr,)
     else:
-        # the _K slot operands all view the same padded x; their BlockSpecs
-        # index different tiles (tc[_K*i+k]) per grid step
-        x_args = (xp,) * _K
+        # the kb slot operands all view the same padded x; their BlockSpecs
+        # index different tiles (tc[kb*i+k]) per grid step
+        x_args = (xp,) * kb
     parts = []
     for seg in ct.segments:
         fn = _seg_fn(seg.ctr.shape[0], seg.rb_hi - seg.rb_lo, tile, e_b,
-                     f_pad, dtype_name, interpret, x_mode)
+                     f_pad, dtype_name, interpret, x_mode, kb)
         parts.append(fn(seg.ctr, seg.ctc, seg.rows, seg.cols, seg.vals,
                         *x_args))
     out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)

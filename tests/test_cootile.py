@@ -178,16 +178,19 @@ def test_auto_geometry_two_roof_model():
     sat = sp.csr_matrix((np.ones(len(r), np.float32), (r, c)), shape=(n, n))
     sat.sum_duplicates()
     # compute-bound: smallest tile; dense tiles: big chunks (the per-chunk
-    # overhead term penalizes padding-light tiny chunks too)
-    assert auto_geometry(sat, dtype="bf16") == (256, 512)
+    # overhead term penalizes padding-light tiny chunks too); small tile
+    # leaves VMEM room for the deepest 32-chunk block
+    assert auto_geometry(sat, dtype="bf16") == (256, 512, 32)
 
     n2 = 100_000
     r2 = rng.integers(0, n2, 30_000)
     c2 = rng.integers(0, n2, 30_000)
     hyp = sp.csr_matrix((np.ones(len(r2), np.float32), (r2, c2)),
                         shape=(n2, n2))
-    t, e_b = auto_geometry(hyp, dtype="bf16")
+    t, e_b, kb = auto_geometry(hyp, dtype="bf16")
     assert t == 2048 and e_b == 128
+    # a 2048-tile's bf16 slot operands only fit an 8-chunk block in VMEM
+    assert kb == 8
 
 
 def test_build_cootile_auto_geometry_correct():
