@@ -61,6 +61,30 @@ def test_cootile_interpret_matches_scipy(shape, density):
     np.testing.assert_allclose(y, a @ x, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("kb", [16, 32])
+def test_cootile_deep_blocks_match_scipy(kb):
+    """kb-chunk grid-step blocks (auto-picked up to 32 by VMEM budget) pad
+    every tile row's chunk list to a kb multiple and must stay exact."""
+    a = _rand(700, 700, 0.015, kb)
+    x = np.random.default_rng(kb).standard_normal((700, 32)).astype(np.float32)
+    ct = build_cootile(a, tile=128, e_b=64, kb=kb)
+    assert ct.kb == kb
+    for s in ct.segments:
+        assert s.ctr.shape[0] % kb == 0
+    y = np.asarray(cootile_spmm(ct, jnp.asarray(x), precision="highest",
+                                interpret=True))
+    np.testing.assert_allclose(y, a @ x, rtol=1e-5, atol=1e-5)
+
+
+def test_auto_kb_respects_vmem_budget():
+    """f32 slot tiles are twice bf16's, so the same tile gets a shallower
+    auto block; tile=2048 only ever fits kb=8 in bf16."""
+    a = _rand(4000, 4000, 0.002, 5)
+    assert build_cootile(a, tile=512, e_b=128, dtype="bf16").kb == 32
+    assert build_cootile(a, tile=512, e_b=128, dtype="f32").kb == 16
+    assert build_cootile(a, tile=2048, e_b=128, dtype="bf16").kb == 8
+
+
 def test_cootile_manual_dma_mode_matches_scipy(monkeypatch):
     """The experimental manual-DMA x delivery (in-kernel double-buffered
     async copies, _X_MODE='manual') must match the slot-operand default
