@@ -91,6 +91,8 @@ def main():
                          "where cluster_order recovers tile locality)")
     ap.add_argument("--skip_tpu", action="store_true",
                     help="host-side (precompute) benchmark only")
+    ap.add_argument("--skip_train_epoch", action="store_true",
+                    help="skip the fused full-train-step measurement")
     ap.add_argument("--out", default="docs/bench_large.json")
     args = ap.parse_args()
 
@@ -259,6 +261,55 @@ def main():
                    "frac_of_sol": round(sol[name] / timed[name][0], 3)}
             for name in timed
         }
+
+        if not args.skip_train_epoch:
+            # full fused H2GCN-2 train step (forward + masked loss +
+            # backward through the transpose-cootile VJP + Adam) at a
+            # scale the reference cannot reach at all — same program
+            # bench.py times at 10K, here on the cluster-ordered cootile
+            # backend. The whole step is ONE compiled XLA program.
+            import optax
+            from h2gcn_tpu.nn import NetworkModel, parse_network_setup
+
+            c = 16
+            conf = parse_network_setup(
+                "M64-R-T1-G-V-T2-G-V-C1-C2-D0.5-MO", c, _dense_units=64,
+                _dropout_rate=0.5)
+            model = NetworkModel(conf, l2_regularize_weight=5e-4)
+            rng_np = np.random.default_rng(7)
+            y = np.zeros((args.n, c), np.float32)
+            y[np.arange(args.n), rng_np.integers(0, c, args.n)] = 1
+            y = jnp.asarray(y)
+            mask = jnp.asarray(rng_np.random(args.n) < 0.02)
+            tx = optax.adam(0.01, eps=1e-7)
+            report["train_epoch"] = {}
+            for key_name in ("cootile-cluster/bf16", "cootile-cluster/f32"):
+                if key_name not in built:
+                    continue
+                k1, k2, _, _ = built[key_name]
+                params = model.init(jax.random.PRNGKey(0),
+                                    args.features, 2)
+                opt_state = tx.init(params)
+
+                @jax.jit
+                def train_step(p, o, key, hops, xx, yy, mm):
+                    def loss_fn(pp):
+                        logits = model.apply(pp, hops[0], xx, hops,
+                                             training=True, rng=key)
+                        return model.loss(pp, logits, yy, mm)
+
+                    loss, grads = jax.value_and_grad(loss_fn)(p)
+                    updates, o2 = tx.update(grads, o, p)
+                    return optax.apply_updates(p, updates), o2, loss
+
+                key = jax.random.PRNGKey(1)
+                step = lambda: train_step(params, opt_state, key,
+                                          [k1, k2], x, y, mask)
+                t = interleaved_timeit({"e": step}, rounds=3, iters=2,
+                                       warmup=1)["e"][0]
+                report["train_epoch"][key_name] = {
+                    "epoch_s": round(t, 4),
+                    "epochs_per_s": round(1.0 / t, 3)}
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
