@@ -30,9 +30,24 @@ def main():
     os.environ.setdefault("CUDA_VISIBLE_DEVICES", "")
     os.environ.setdefault("TF_USE_LEGACY_KERAS", "1")
 
+    # The reference trainer has no seed flag (init randomness is TF's
+    # default); --seed here pins it for a reproducible seed set.
+    seed = None
+    argv = sys.argv[1:]
+    if "--seed" in argv:
+        i = argv.index("--seed")
+        seed = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    sys.argv = [sys.argv[0]] + argv
+
     import tensorflow.compat.v1 as tf1
 
     tf1.disable_eager_execution()
+    if seed is not None:
+        import numpy as _np
+
+        tf1.set_random_seed(seed)
+        _np.random.seed(seed)
 
     def _batch_norm(inputs, *args, **kwargs):
         # slim batch_norm defaults; the reference passes no arguments.
