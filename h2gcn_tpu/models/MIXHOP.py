@@ -100,9 +100,15 @@ class MixHopNetwork:
             kernels = {}
             for p, cap in zip(self.powers, caps):
                 k = jax.random.fold_in(rng, j * 100 + p)
-                kernels[str(p)] = jax.nn.initializers.glorot_uniform()(
-                    k, (dim, cap), jnp.float32
-                )
+                if cap == 0:
+                    # capacity-0 powers are legal in --adj_pows specs (e.g.
+                    # the published train_cora.sh uses 0:24:0) — the segment
+                    # contributes nothing but must keep its kernel slot
+                    kernels[str(p)] = jnp.zeros((dim, 0), jnp.float32)
+                else:
+                    kernels[str(p)] = jax.nn.initializers.glorot_uniform()(
+                        k, (dim, cap), jnp.float32
+                    )
             params["layers"].append(kernels)
             dim = sum(caps)
             if self.batch_norm and j != self.num_layers - 1:
