@@ -67,12 +67,31 @@ def main():
     sys.modules["utils.dataset"] = mod
     spec.loader.exec_module(mod)
 
+    # tf 2.21's SparseSoftmax silently mis-pairs values with indices when
+    # the input SparseTensor is not canonically ordered.  The reference
+    # feeds preprocess_adj_bias's transposed (col,row) pairs, which are
+    # non-canonical (utils/process.py:122-131) — fine on the TF-1.6-era
+    # stack it targeted (published 83% Cora), broken here.  Re-sort the
+    # same edges canonically so the executed graph computes the per-row
+    # softmax the reference's authors validated.
     scratch = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "scratch", "gat")
     os.makedirs(os.path.join(scratch, "pre_trained", "cora"), exist_ok=True)
     os.chdir(scratch)
 
     sys.path.insert(0, GAT_DIR)
+
+    import numpy as _np
+    from utils import process as _process
+
+    _orig_pab = _process.preprocess_adj_bias
+
+    def _canonical_pab(adj):
+        idx, vals, shape = _orig_pab(adj)
+        order = _np.lexsort((idx[:, 1], idx[:, 0]))
+        return idx[order], vals[order], shape
+
+    _process.preprocess_adj_bias = _canonical_pab
     defaults = []
     if "--dataset_path" not in argv:
         defaults += ["--dataset_path", DEFAULT_DATA]
