@@ -1,0 +1,83 @@
+"""Golden parity against the EXECUTED reference PyTorch GraphSAGE.
+
+tests/golden/ref_sagebase_*.npz were produced by running the reference
+model (baselines/graphsage-simple/graphsage/{model,encoders,aggregators}.py
+on the baked-in torch) with ``num_samples=None`` — the reference's own
+deterministic full-neighbor mean mode — via
+workbench/golden_baselines/dump_graphsage_baseline.py.
+
+Asserts: the reference's xavier-init encoder/scorer weights loaded into our
+GraphSAGENetwork (h2gcn_tpu/models/GRAPHSAGE.py, padded-ELL full-neighbor
+path) reproduce the full-graph logits, train CE loss, and test accuracy at
+~1e-5 for both the plain and the Concat(+JK) variants.  Weight orientation:
+the reference applies ``W·concat(self,neigh)ᵀ`` (encoders.py:50) — ours is
+the transpose.
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from h2gcn_tpu.models.GRAPHSAGE import (ELLGraph, GraphSAGENetwork,
+                                        build_neighbor_table)
+from h2gcn_tpu.nn.metrics import masked_accuracy, masked_softmax_cross_entropy
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+
+CASES = {
+    "plain": ("ref_sagebase_plain_cora.npz", False),
+    "concat": ("ref_sagebase_concat_cora.npz", True),
+}
+
+
+def _build(case):
+    path = os.path.join(GOLDEN_DIR, CASES[case][0])
+    if not os.path.exists(path):
+        pytest.skip(f"{path} not present")
+    npz = np.load(path)
+    concat_jk = CASES[case][1]
+    num_classes = npz["weights/scorer"].shape[0]
+    model = GraphSAGENetwork(num_classes, hid_units=int(npz["meta/hid_units"]),
+                             num_samples=(0, 0),  # full-neighbor mean
+                             concat_jk=concat_jk)
+    params = {
+        "W1": jnp.asarray(npz["weights/enc1"].T),
+        "W2": jnp.asarray(npz["weights/enc2"].T),
+        "Wout": jnp.asarray(npz["weights/scorer"].T),
+    }
+    adj = sp.csr_matrix(
+        (np.ones(npz["inputs/adj/indices"].size, np.float32),
+         npz["inputs/adj/indices"], npz["inputs/adj/indptr"]),
+        shape=tuple(npz["inputs/adj/shape"]))
+    table, valid = build_neighbor_table(adj)
+    ell = ELLGraph(table=table, valid=valid, nnz=int(adj.nnz))
+    x = jnp.asarray(npz["inputs/features"])
+    return npz, model, params, x, ell
+
+
+@pytest.mark.parametrize("case", sorted(CASES))
+def test_forward_matches_reference_torch(case):
+    npz, model, params, x, ell = _build(case)
+    logits = model.apply(params, ell, x, [], training=False)
+    np.testing.assert_allclose(np.asarray(logits), npz["predictions"],
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("case", sorted(CASES))
+def test_loss_and_accuracy_match_reference_torch(case):
+    npz, model, params, x, ell = _build(case)
+    logits = model.apply(params, ell, x, [], training=False)
+
+    labels = npz["tensors/labels"]
+    onehot = np.eye(int(labels.max()) + 1, dtype=np.float32)[labels]
+    train_loss = masked_softmax_cross_entropy(
+        logits, jnp.asarray(onehot), jnp.asarray(npz["tensors/train_mask"]))
+    np.testing.assert_allclose(np.asarray(train_loss),
+                               npz["golden/train_loss"], rtol=1e-5)
+    acc = masked_accuracy(logits, jnp.asarray(onehot),
+                          jnp.asarray(npz["tensors/test_mask"]))
+    np.testing.assert_allclose(np.asarray(acc), npz["golden/test_acc"],
+                               rtol=0, atol=1e-6)
