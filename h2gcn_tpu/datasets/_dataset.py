@@ -186,6 +186,38 @@ class PlanetoidData:
         self._dense_data["y_test"] = masked(labels, test_mask)
         self._dense_data["y_wild"] = masked(labels, wild_mask)
 
+    def set_mixhop_partition(self, val_size=500):
+        """Rebuild the split the way the MixHop reference reader does
+        (baselines/mixhop/mixhop_dataset.py:184-194): train = ALL nodes
+        before the validation window — i.e. the labeled train set PLUS the
+        wild nodes — val = the next ``val_size`` ids minus train/test
+        overlap, test = the stored test indices.  This is the partition
+        every reference MixHop planetoid run trains under (its trainer has
+        no notion of the 140-node planetoid train mask)."""
+        labels = self.y_all
+        n = labels.shape[0]
+        test_mask = self.test_mask.copy()
+        num_test = int(test_mask.sum())
+        num_train = n - val_size - num_test
+        train_mask = np.zeros(n, bool)
+        train_mask[:num_train] = True
+        val_mask = np.zeros(n, bool)
+        val_mask[num_train:min(num_train + val_size, n)] = True
+        val_mask &= ~train_mask & ~test_mask
+        wild_mask = ~(train_mask | val_mask | test_mask)
+
+        def masked(mask):
+            out = np.zeros(labels.shape)
+            out[mask, :] = labels[mask, :]
+            return out
+
+        self._dense_data["train_mask"] = train_mask
+        self._dense_data["val_mask"] = val_mask
+        self._dense_data["wild_mask"] = wild_mask
+        self._dense_data["y_train"] = masked(train_mask)
+        self._dense_data["y_val"] = masked(val_mask)
+        self._dense_data["y_wild"] = masked(wild_mask)
+
     def reload_data(self):
         self._sparse_data, self._dense_data = (
             dict(self._original_data[0]),

@@ -114,8 +114,12 @@ def add_subparser_args(parser):
     group.add_argument("--early_stopping", type=int, default=10)
     group.add_argument("--max_degree", type=int, default=3,
                        help="Chebyshev polynomial order (cheby variant)")
-    group.add_argument("--cheby_eigenvalue", type=float, default=None,
-                       help="Fixed largest eigenvalue (None → ARPACK)")
+    group.add_argument("--cheby_eigenvalue", type=float, default=2,
+                       help="Fixed largest Laplacian eigenvalue. 2 is the "
+                            "reference's effective default: its train.py "
+                            "dispatch (utils.py:82-107 default) never "
+                            "reaches the ARPACK path. Pass a negative "
+                            "value to compute it with ARPACK instead.")
     group.add_argument("--bp_homophily", type=float, default=None,
                        help="Class-compatibility homophily for the bp "
                             "variant (None → reference circulant/uniform)")
@@ -219,9 +223,10 @@ def argparse_callback(args):
         return
     dataset.row_normalize_features()
     if args.variant in ("cheby", "cheby_concat2"):
+        eig = args.cheby_eigenvalue
         supports = transforms.chebyshev_polynomials(
             dataset.sparse_adj, args.max_degree,
-            eigenvalue=args.cheby_eigenvalue,
+            eigenvalue=(None if eig is not None and eig < 0 else eig),
         )
     elif args.variant == "mlp":
         supports = []

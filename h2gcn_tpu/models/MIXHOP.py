@@ -265,6 +265,12 @@ def add_subparser_args(parser):
     group.add_argument("--lr_decrement_every", type=int, default=40)
     group.add_argument("--early_stop_steps", type=int, default=50)
     group.add_argument("--optimizer", type=str, default="sgd")
+    group.add_argument("--partition", choices=["mixhop", "planetoid"],
+                       default="mixhop",
+                       help="'mixhop' (default) trains on every node outside "
+                            "the val window + test set, as the reference "
+                            "trainer does (mixhop_dataset.py:184-194); "
+                            "'planetoid' keeps the dataset's stored masks")
     group.add_argument("--no_l2_normalization", action="store_true")
     group.add_argument("--no_batch_normalization", action="store_true")
     group.add_argument("--no_psum_output", action="store_true")
@@ -285,6 +291,11 @@ def add_subparser_args(parser):
 
 def argparse_callback(args):
     dataset = args.objects["dataset"]
+    if getattr(args, "partition", "mixhop") == "mixhop" and hasattr(
+            dataset, "set_mixhop_partition"):
+        # the reference trainer's split: train on everything outside the
+        # val window and the stored test set (mixhop_dataset.py:184-194)
+        dataset.set_mixhop_partition(getattr(args, "val_size", 500) or 500)
     # MixHop support: self-looped, symmetrically normalized adjacency
     # (reference mixhop_dataset.py:24-118).
     support = transforms.normalize(

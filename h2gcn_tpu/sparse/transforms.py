@@ -188,10 +188,20 @@ def chebyshev_polynomials(
     adj_normalized = normalize(sp.csr_matrix(adj), NType.SYM_NORMALIZED)
     laplacian = sp.eye(n) - adj_normalized
     if eigenvalue is None:
-        from scipy.sparse.linalg import eigsh
+        from scipy.sparse.linalg import ArpackNoConvergence, eigsh
 
-        largest, _ = eigsh(laplacian, 1, which="LM")
-        largest = largest[0]
+        try:
+            largest, _ = eigsh(laplacian, 1, which="LM")
+            largest = largest[0]
+        except ArpackNoConvergence:
+            # disconnected / near-bipartite graphs (e.g. citeseer) can
+            # stall ARPACK; λmax of a normalized Laplacian is ≤ 2, so the
+            # fixed-eigenvalue bound is the safe fallback
+            import warnings
+
+            warnings.warn("ARPACK did not converge on the Laplacian; "
+                          "falling back to eigenvalue=2")
+            largest = 2.0
     else:
         largest = eigenvalue
     scaled_lap = (2.0 / largest) * laplacian - sp.eye(n)
