@@ -170,7 +170,62 @@ def test_transform_pipeline_matches_reference():
     ds.row_normalize_features()
     assert abs(ds.features.tocsr() - ref_feats).max() < 1e-6
 
-    cheb = transforms.chebyshev_polynomials(ds.sparse_adj, 3)
+    # eigenvalue=2 = the reference's effective default (its train.py
+    # dispatch never reaches the ARPACK branch of utils.py:82-107)
+    cheb = transforms.chebyshev_polynomials(ds.sparse_adj, 3, eigenvalue=2)
     for k, t in enumerate(cheb):
         ref_t = _sparse_from(npz_cheby, f"inputs/support/{k}")
         assert abs(t.tocsr() - ref_t).max() < 1e-5, f"T_{k} diverges"
+
+
+def test_training_dynamics_match_reference_tf1():
+    """From the reference's seeded init, 25 dropout-free train steps in our
+    runtime reproduce the reference GCN's per-step loss sequence — pinning
+    the masked-CE gradient, the first-layer-only halved weight decay, and
+    tf.train.AdamOptimizer semantics (eps 1e-8, bias corrections folded
+    into the step size)."""
+    import optax
+
+    from h2gcn_tpu.models._runtime import _keras_adam
+
+    path = os.path.join(GOLDEN_DIR, "ref_gcnbase_dyn_gcn_cora.npz")
+    if not os.path.exists(path):
+        pytest.skip(f"{path} not present")
+    npz = np.load(path)
+    spec = CASES["gcn"]
+    num_labels = npz["tensors/y_train"].shape[1]
+    model = NetworkModel(
+        build_layer_setups("gcn", int(npz["meta/hidden1"]), 0.5, num_labels),
+        l2_regularize_weight=float(npz["meta/weight_decay"]),
+    )
+    feats = _sparse_from(npz, "inputs/features")
+    hops = [SparseMatrix.from_scipy(_sparse_from(npz, "inputs/support/0"),
+                                    backend="segment")]
+    params = model.init(jax.random.PRNGKey(0), feats.shape[1], 1)
+    for ind, ref_keys in spec["kernels"].items():
+        params[ind] = dict(params[ind])
+        params[ind]["kernel"] = jnp.asarray(
+            np.vstack([npz[f"weights/{k}"] for k in ref_keys]))
+    x = jnp.asarray(feats.toarray(), dtype=jnp.float32)
+
+    y_train = jnp.asarray(npz["tensors/y_train"])
+    train_mask = jnp.asarray(npz["tensors/train_mask"])
+    tx = _keras_adam(float(npz["meta/learning_rate"]), eps=1e-8)  # TF1 Adam
+    opt_state = tx.init(params)
+
+    def loss_fn(p):
+        logits = model.apply(p, hops[0], x, hops)
+        return model.loss(p, logits, y_train, train_mask)
+
+    @jax.jit
+    def step(p, s):
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, s = tx.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    losses = []
+    for _ in range(len(npz["golden/step_losses"])):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    np.testing.assert_allclose(losses, npz["golden/step_losses"],
+                               rtol=2e-5, atol=2e-6)

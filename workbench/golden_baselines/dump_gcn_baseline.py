@@ -36,6 +36,11 @@ def main():
     ap.add_argument("--hidden1", type=int, default=16)
     ap.add_argument("--max_degree", type=int, default=3)
     ap.add_argument("--eigenvalue", type=int, default=-1)
+    ap.add_argument("--train_steps", type=int, default=0,
+                    help="also run N reference train steps with dropout 0 "
+                         "and record per-step train losses (pins the CE "
+                         "gradient, first-layer weight decay, and "
+                         "tf.train.AdamOptimizer dynamics)")
     ap.add_argument("--out", required=True)
     opts = ap.parse_args()
 
@@ -138,6 +143,15 @@ def main():
     feed_t = construct_feed_dict(features, support, y_test, test_mask,
                                  placeholders)
     out["golden/test_acc"] = sess.run(model.accuracy, feed_t)
+
+    if opts.train_steps:
+        # dropout stays at the placeholder default 0 → deterministic steps
+        step_losses = []
+        for _ in range(opts.train_steps):
+            _, step_loss = sess.run([model.opt_op, model.loss], feed)
+            step_losses.append(step_loss)
+        out["golden/step_losses"] = np.asarray(step_losses, np.float64)
+        out["meta/learning_rate"] = 0.01
 
     # exact inputs
     coords, values, shape = features
