@@ -127,3 +127,22 @@ def test_support_pipeline_matches_reference(golden):
     shape = tuple(int(s) for s in golden["inputs/adj/dense_shape"])
     ref = sp.coo_matrix((vals, (idx[:, 0], idx[:, 1])), shape=shape).tocsr()
     assert abs(ours - ref).max() < 1e-6
+
+
+def test_mixhop_partition_matches_reference_reader(golden):
+    """PlanetoidData.set_mixhop_partition reproduces the exact train/test
+    index sets of the reference reader's get_partition_indices
+    (mixhop_dataset.py:184-194) recorded in the golden dump."""
+    from h2gcn_tpu.datasets._dataset import PlanetoidData
+
+    data_path = "/root/reference/baselines/mixhop/data/planetoid/data"
+    if not os.path.exists(os.path.join(data_path, "ind.cora.allx")):
+        pytest.skip("planetoid data not present")
+    ds = PlanetoidData("ind.cora", data_path, val_size=500)
+    ds.set_mixhop_partition(500)
+    np.testing.assert_array_equal(np.where(ds.train_mask)[0],
+                                  np.sort(golden["tensors/train_idx"]))
+    np.testing.assert_array_equal(np.where(ds.test_mask)[0],
+                                  np.sort(golden["tensors/test_idx"]))
+    assert not (ds.train_mask & ds.val_mask).any()
+    assert not (ds.val_mask & ds.test_mask).any()
