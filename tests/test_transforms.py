@@ -121,3 +121,26 @@ def test_cluster_order_rcm_method_and_permute_graph():
     # P A Pᵀ: entry (i, j) of the permuted matrix equals (perm[i], perm[j])
     dense, pdense = A.toarray(), Ap.toarray()
     assert (pdense == dense[np.ix_(perm, perm)]).all()
+
+
+def test_chebyshev_arpack_fallback(monkeypatch):
+    """ARPACK non-convergence (seen on citeseer's near-bipartite components)
+    falls back to the eigenvalue-2 bound instead of crashing."""
+    import warnings
+
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as ssl
+
+    def boom(*a, **k):
+        raise ssl.ArpackNoConvergence("no convergence", np.empty(0),
+                                      np.empty((0, 0)))
+
+    monkeypatch.setattr(ssl, "eigsh", boom)
+    A = sp.csr_matrix(np.array([[0, 1], [1, 0]], np.float32))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        t = transforms.chebyshev_polynomials(A, 2, eigenvalue=None)
+    assert any("ARPACK" in str(x.message) for x in w)
+    ref = transforms.chebyshev_polynomials(A, 2, eigenvalue=2)
+    for a, b in zip(t, ref):
+        assert abs(a.tocsr() - b.tocsr()).max() == 0
