@@ -121,6 +121,22 @@ class MixHopNetwork:
         return params
 
     def _powers_apply(self, adj, x, kernels):
+        total_cap = sum(int(kernels[str(p)].shape[1]) for p in self.powers)
+        width = int(x.shape[1])
+        if width > 4 * max(total_cap, 1):
+            # Project-first: Âᵖ(x)·W_p ≡ Âᵖ(x·W_p) (SpMM is linear), and
+            # aggregating at the per-power capacity (~tens of columns)
+            # instead of the raw feature width (thousands on planetoid)
+            # shrinks the aggregation FLOPs by width/cap even though the
+            # Âᵖx chain can no longer be shared across powers.
+            outs = []
+            for p in self.powers:
+                cur = jnp.matmul(x, kernels[str(p)],
+                                 precision=_MATMUL_PRECISION)
+                for _ in range(p):
+                    cur = _aggregate(adj, cur)
+                outs.append(cur)
+            return jnp.concatenate(outs, axis=1)
         # Incremental Âᵖx chaining: sort powers, reuse previous product.
         outs = {}
         cur = x

@@ -47,6 +47,39 @@ _DENSE_AUTO_MAX_DIM = 8192
 _DEFAULT_BLOCK = 128
 
 
+def _auto_backend(n, m, nnz, coo, block_size, platform=None):
+    """Pick a backend for ``backend='auto'``.
+
+    The dense/BSR/cootile ladder is an MXU economics model — it only
+    applies on accelerators. On CPU hosts (tests, CI, CPU-only sweeps) the
+    n² dense payload is strictly worse than segment sums for graph-sparse
+    matrices, so auto resolves to ``segment`` there.
+    """
+    if platform is None:
+        import jax
+
+        platform = jax.default_backend()
+    if platform == "cpu":
+        return "segment"
+    density = nnz / max(n * m, 1)
+    if max(n, m) <= _DENSE_AUTO_MAX_DIM:
+        return "dense"
+    if max(n, m) <= 4 * _DENSE_AUTO_MAX_DIM and density >= 0.01:
+        # dense-ish mid-size matrices (e.g. exact-2-hop neighborhoods
+        # of heterophily graphs): the MXU matmul beats block-sparse
+        return "dense"
+    # BSR is only economical with real block occupancy: count the nonzero
+    # 128-blocks and refuse payloads that would dwarf the edge data (huge
+    # unclustered graphs) in favor of the payload-free COO-tile kernel
+    ncb = -(-m // block_size)
+    nb = np.unique(
+        (coo.row // block_size).astype(np.int64) * ncb
+        + coo.col // block_size
+    ).size
+    payload_bytes = nb * block_size * block_size * 4
+    return "bsr" if payload_bytes <= 4e9 else "cootile"
+
+
 @struct.dataclass
 class BSR:
     """Block-sparse-row representation: only nonzero B×B blocks are stored.
@@ -178,25 +211,7 @@ class SparseMatrix:
         symmetric = bool(n == m and (abs(csr - csr.T)).nnz == 0)
 
         if backend == "auto":
-            density = nnz / max(n * m, 1)
-            if max(n, m) <= _DENSE_AUTO_MAX_DIM:
-                backend = "dense"
-            elif max(n, m) <= 4 * _DENSE_AUTO_MAX_DIM and density >= 0.01:
-                # dense-ish mid-size matrices (e.g. exact-2-hop neighborhoods
-                # of heterophily graphs): the MXU matmul beats block-sparse
-                backend = "dense"
-            else:
-                # BSR is only economical with real block occupancy: count
-                # the nonzero 128-blocks and refuse payloads that would
-                # dwarf the edge data (huge unclustered graphs) in favor of
-                # the payload-free COO-tile kernel
-                ncb = -(-m // block_size)
-                nb = np.unique(
-                    (coo.row // block_size).astype(np.int64) * ncb
-                    + coo.col // block_size
-                ).size
-                payload_bytes = nb * block_size * block_size * 4
-                backend = "bsr" if payload_bytes <= 4e9 else "cootile"
+            backend = _auto_backend(n, m, nnz, coo, block_size)
 
         if backend == "dense":
             # the dense payload is authoritative; keep only no-op COO

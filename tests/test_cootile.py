@@ -170,8 +170,11 @@ def test_auto_e_b_shrinks_on_hyper_sparse_and_stays_correct():
 
 
 def test_auto_backend_prefers_cootile_when_bsr_payload_explodes():
-    """auto heuristic: a large scattered matrix whose 128-block payload
-    would exceed the budget routes to cootile instead of bsr."""
+    """auto heuristic (accelerator ladder): a large scattered matrix whose
+    128-block payload would exceed the budget routes to cootile instead of
+    bsr; and on CPU hosts auto resolves to segment regardless."""
+    from h2gcn_tpu.sparse.matrix import _auto_backend
+
     rng = np.random.default_rng(9)
     n = 40_000
     # ~1.1M random edges: nearly every edge lands in its own 128-block ->
@@ -179,7 +182,12 @@ def test_auto_backend_prefers_cootile_when_bsr_payload_explodes():
     r = rng.integers(0, n, 1_100_000)
     c = rng.integers(0, n, 1_100_000)
     a = sp.csr_matrix((np.ones(len(r), np.float32), (r, c)), shape=(n, n))
-    sm = SparseMatrix.from_scipy(a, backend="auto", build_transpose=False)
+    coo = a.tocoo()
+    assert _auto_backend(n, n, coo.nnz, coo, 128, platform="tpu") == "cootile"
+    assert _auto_backend(2000, 2000, 4000, None, 128,
+                         platform="tpu") == "dense"
+    assert _auto_backend(n, n, coo.nnz, coo, 128, platform="cpu") == "segment"
+    sm = SparseMatrix.from_scipy(a, backend="cootile", build_transpose=False)
     assert sm.backend == "cootile"
     assert sm.coot is not None
 
