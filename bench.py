@@ -68,9 +68,27 @@ def build_graph(n=10_000, m_edges=60_000, seed=0):
 
 
 def _block(x):
+    """Force completion of every output buffer.
+
+    ``jax.block_until_ready`` alone is NOT sufficient through the axon
+    relay: for large outputs (observed ≥256MB at n=1M) it returns at
+    dispatch-ack without waiting for remote execution, reading ~0.1 ms for
+    a physically ≥10 ms SpMM. A one-element readback of each leaf is a
+    true data dependency on the finished buffer, so it cannot lie. The
+    readback latency itself (~3-30 ms through the relay) is the same cost
+    the trivial-program dispatch_overhead measurement carries, and is
+    amortized across the iters of each timing round.
+    """
     import jax
+    import numpy as np
 
     jax.block_until_ready(x)
+    for leaf in jax.tree_util.tree_leaves(x):
+        if hasattr(leaf, "shape"):
+            # one element of one output: all outputs of an XLA executable
+            # complete together, so a single true readback suffices
+            np.asarray(leaf[tuple(0 for _ in leaf.shape)])
+            break
 
 
 def timeit(fn, warmup=3, iters=20):
