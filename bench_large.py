@@ -261,6 +261,22 @@ def main():
                    "frac_of_sol": round(sol[name] / timed[name][0], 3)}
             for name in timed
         }
+        # checkpoint the report before the train-step section (which can
+        # OOM at the largest scales) so the aggregation numbers survive
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1, default=float)
+
+        # release the device tables of every backend the train step won't
+        # use — at n=1M the extra cootile/segment variants hold several GB
+        # of HBM that the backward pass needs
+        import gc
+
+        fns.clear()
+        del timed, m1, m2
+        built = {k: v for k, v in built.items()
+                 if k.startswith("cootile-cluster")}
+        gc.collect()
 
         if not args.skip_train_epoch:
             # full fused H2GCN-2 train step (forward + masked loss +
