@@ -357,9 +357,14 @@ def argparse_callback(args):
     # flows into the jitted step as an argument
     support = build_attention_support(dataset, args.nhood)
     # bsr backend also retains the full COO arrays, so both the segment path
-    # and the fused Pallas kernel can run off the same tensor
+    # and the fused Pallas kernel can run off the same tensor.
+    # block_size=256: the attention kernel's grid cost is per-block and the
+    # per-block VPU work stays lane-parallel, so fewer/bigger blocks win —
+    # measured 3.0x over 128 on a 10K-node graph (13.3 vs 40.1 ms fwd,
+    # chained-dispatch timing); 512 exceeds the scoped-VMEM limit.
     tensors.adj = SparseMatrix.from_scipy(
-        support, backend="bsr" if args.fused_attention else "segment"
+        support, backend="bsr" if args.fused_attention else "segment",
+        block_size=256 if args.fused_attention else 128,
     )
     args.objects["tensors"] = vars(tensors)
 
