@@ -26,6 +26,7 @@ the reference repo, see BASELINE.md).
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 
@@ -71,29 +72,39 @@ def _block(x):
     """Force completion of every output buffer.
 
     ``jax.block_until_ready`` alone is NOT sufficient through the axon
-    relay: for large outputs (observed ≥256MB at n=1M) it returns at
-    dispatch-ack without waiting for remote execution, reading ~0.1 ms for
-    a physically ≥10 ms SpMM. A one-element readback of each leaf is a
-    true data dependency on the finished buffer, so it cannot lie. The
-    readback latency itself (~3-30 ms through the relay) is the same cost
-    the trivial-program dispatch_overhead measurement carries, and is
-    amortized across the iters of each timing round.
+    relay: it can return at dispatch-ack without waiting for remote
+    execution (observed reading ~0.1 ms for physically ≥10 ms kernels).
+    A one-element readback is a true data dependency on the finished
+    buffer, so it cannot lie — and because the device executes queued
+    launches in order, reading back the LAST output of an iters-deep
+    chain forces completion of the whole chain. The fixed readback
+    latency (~30 ms through the relay) is measured and subtracted per
+    round by :func:`interleaved_timeit`.
     """
     import jax
     import numpy as np
 
     jax.block_until_ready(x)
-    leaves = [l for l in jax.tree_util.tree_leaves(x)
-              if hasattr(l, "shape")]
-    # The relay syncs small buffers honestly (observed truthful at the
-    # 64MB/250K-node scale, matching rooflines and kb-sweeps); only large
-    # outputs need the readback, so small-kernel timings don't absorb the
-    # ~30ms readback latency into every round.
-    if sum(int(np.prod(l.shape)) * l.dtype.itemsize for l in leaves) >= 32e6:
-        # one element of one output: all outputs of an XLA executable
-        # complete together, so a single true readback suffices
-        leaf = leaves[0]
-        np.asarray(leaf[tuple(0 for _ in leaf.shape)])
+    for leaf in jax.tree_util.tree_leaves(x):
+        if hasattr(leaf, "shape"):
+            np.asarray(leaf[tuple(0 for _ in leaf.shape)])
+            break
+
+
+def _sync_overhead_s():
+    """Fixed cost of one dispatch+readback round trip (trivial program)."""
+    import jax
+    import jax.numpy as jnp
+
+    triv = jax.jit(lambda v: v + 1.0)
+    z = jnp.zeros(())
+    _block(triv(z))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _block(triv(z))
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def timeit(fn, warmup=3, iters=20):
@@ -106,19 +117,40 @@ def timeit(fn, warmup=3, iters=20):
 def interleaved_timeit(fns: dict, rounds=4, iters=10, warmup=2):
     """Round-robin timing: every fn measured in every round; min wins.
 
+    Each round queues ``iters`` launches and forces completion of the last
+    (in-order execution ⇒ the whole chain finished), then subtracts the
+    measured fixed sync cost — the only methodology that reads true kernel
+    time through the relay (plain block_until_ready under-reports, and an
+    unsubtracted readback overcharges fast kernels ~30 ms/round).
+
     Returns {name: (best_time_s, [per-round times])}.
     """
-    for fn in fns.values():  # compile + warm each once before any timing
+    sync_s = _sync_overhead_s()
+    est = {}
+    for name, fn in fns.items():  # compile + warm each once before timing
         for _ in range(warmup):
             _block(fn())
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn()
+        _block(out)
+        est[name] = max((time.perf_counter() - t0 - sync_s) / iters, 1e-7)
+    # adaptive chain depth: fast kernels need deep chains so the subtracted
+    # sync cost (and its variance) stays <10% of the measured window
+    iters_by = {
+        name: int(min(max(iters, math.ceil(10 * sync_s / t)), 2000))
+        for name, t in est.items()
+    }
     times = {name: [] for name in fns}
     for _ in range(rounds):
         for name, fn in fns.items():
+            n_it = iters_by[name]
             t0 = time.perf_counter()
-            for _ in range(iters):
+            for _ in range(n_it):
                 out = fn()
             _block(out)
-            times[name].append((time.perf_counter() - t0) / iters)
+            times[name].append(
+                max(time.perf_counter() - t0 - sync_s, 1e-9) / n_it)
     return {name: (min(ts), ts) for name, ts in times.items()}
 
 
