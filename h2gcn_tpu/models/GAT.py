@@ -197,6 +197,29 @@ class GATNetwork:
             and capture is None
             and (not training or self.attn_drop == 0)
         )
+        if use_fused:
+            # f1/f2/h ride as whole-array VMEM operands in the fused kernel
+            # (pallas_attention.py) — pre-check the ~16MB/core budget and
+            # fall back to the segment composition instead of a cryptic
+            # scoped-VMEM compile error. Widths: f1/f2 pad heads to 128
+            # lanes; h pads H·F to a 128 multiple.
+            n_pad = adj.bsr.n_col_blocks * adj.bsr.block_size
+            max_hf = max(
+                max(h_u * k, 128) for h_u, k in
+                zip(self.hid_units + [self.num_classes], self.n_heads)
+            )
+            hf_pad = -(-max_hf // 128) * 128
+            vmem_bytes = n_pad * (128 + 128 + hf_pad) * 4
+            # empirical v5e boundary: n=10240 (15.7MB operands) compiles,
+            # the next step up does not — guard just above the known-good
+            if vmem_bytes > 16 * 1024 * 1024:
+                import warnings
+
+                warnings.warn(
+                    f"fused attention needs ~{vmem_bytes / 1e6:.0f}MB of "
+                    "VMEM-resident operands at this graph size — falling "
+                    "back to the segment composition")
+                use_fused = False
         # attention coefficients for EVERY layer and head (the reference's
         # getAttnCoeff returns a per-attention-layer list, H2GCN.py:355-360)
         all_alphas = [] if capture is not None else None

@@ -168,3 +168,33 @@ def test_fused_attention_vjp_matches_autodiff():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_fused_attention_vmem_guard_falls_back():
+    """Graphs whose whole-array operands exceed the VMEM budget fall back
+    to the segment composition with a warning instead of a scoped-VMEM
+    compile error (models/GAT.py apply)."""
+    import warnings
+
+    import scipy.sparse as sp
+
+    from h2gcn_tpu.models.GAT import GATNetwork
+    from h2gcn_tpu.sparse import SparseMatrix
+
+    n = 40_000  # 40K * (128+128+128) * 4B ≈ 61MB >> 12MB budget
+    rng = np.random.default_rng(0)
+    r = rng.integers(0, n, 120_000)
+    c = rng.integers(0, n, 120_000)
+    a = sp.csr_matrix((np.ones(r.size, np.float32), (r, c)), shape=(n, n))
+    a = ((a + a.T + sp.eye(n)) > 0).astype(np.float32)
+    adj = SparseMatrix.from_scipy(a.tocsr(), backend="bsr", block_size=256)
+
+    model = GATNetwork(7, hid_units=[8], n_heads=[8, 1],
+                       fused_attention=True, attn_drop=0.0)
+    params = model.init(jax.random.PRNGKey(0), 16, 1)
+    x = jnp.asarray(rng.normal(size=(n, 16)), jnp.float32)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = model.apply(params, adj, x, [], training=False)
+    assert out.shape == (n, 7)
+    assert any("fused attention" in str(x.message) for x in w)
