@@ -65,11 +65,20 @@ CASES = {
                  9: ["2/weights_0"], 15: ["3/weights"]},
         acts={0: 2, 1: 7, 2: 12, 3: 13},
     ),
+    # citeseer pins the isolated-node patch + non-valid-sample masking
+    # through the same weight-loading path
+    "gcn_citeseer": dict(
+        variant="gcn",
+        kernels={1: ["0/weights_0"], 6: ["1/weights_0"]},
+        acts={0: 4},
+    ),
 }
 
 
 def _golden(case):
-    path = os.path.join(GOLDEN_DIR, f"ref_gcnbase_{case}_cora.npz")
+    ds = "citeseer" if case.endswith("_citeseer") else "cora"
+    case = case.removesuffix("_citeseer")
+    path = os.path.join(GOLDEN_DIR, f"ref_gcnbase_{case}_{ds}.npz")
     if not os.path.exists(path):
         pytest.skip(f"golden dump {path} not present")
     return np.load(path)
