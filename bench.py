@@ -28,6 +28,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import sys
 import time
 
 import numpy as np
@@ -130,11 +131,16 @@ def interleaved_timeit(fns: dict, rounds=4, iters=10, warmup=2):
     for name, fn in fns.items():  # compile + warm each once before timing
         for _ in range(warmup):
             _block(fn())
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn()
-        _block(out)
-        est[name] = max((time.perf_counter() - t0 - sync_s) / iters, 1e-7)
+        # min of 2 estimation windows: a single window can catch a relay
+        # hiccup and over-deepen (or under-deepen) the adaptive chain
+        window = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = fn()
+            _block(out)
+            window = min(window, time.perf_counter() - t0 - sync_s)
+        est[name] = max(window / iters, 1e-7)
     # adaptive chain depth: fast kernels need deep chains so the subtracted
     # sync cost (and its variance) stays <10% of the measured window
     iters_by = {
@@ -149,8 +155,16 @@ def interleaved_timeit(fns: dict, rounds=4, iters=10, warmup=2):
             for _ in range(n_it):
                 out = fn()
             _block(out)
-            times[name].append(
-                max(time.perf_counter() - t0 - sync_s, 1e-9) / n_it)
+            elapsed = time.perf_counter() - t0 - sync_s
+            if elapsed <= 0:
+                # below measurement resolution: the whole chain finished
+                # inside the sync-cost noise — flag it loudly rather than
+                # silently reporting a ~0 time as a real measurement
+                print(f"# WARNING: {name} chain ({n_it} iters) ran below "
+                      "sync-cost resolution; reported time is a floor, "
+                      "not a measurement", file=sys.stderr)
+                elapsed = 1e-9
+            times[name].append(elapsed / n_it)
     return {name: (min(ts), ts) for name, ts in times.items()}
 
 
@@ -271,11 +285,14 @@ def main():
         name: {"sol_ms": round(sol[name] * 1e3, 3),
                "achieved_ms": round(timed[name][0] * 1e3, 3),
                "frac_of_sol": round(sol[name] / timed[name][0], 3),
-               # capped at 1: when achieved-time ≈ dispatch overhead the
-               # on-device kernel time is below measurement resolution
-               "frac_of_sol_net_dispatch": round(min(
-                   sol[name] / max(timed[name][0] - dispatch_s, 1e-9),
-                   1.0), 3)}
+               # raw ratio, uncapped: a value > 1 means the achieved time
+               # net of dispatch fell below the roofline model — i.e. the
+               # on-device kernel time is at or below measurement
+               # resolution (or the byte model overcounts); report it
+               # honestly instead of clamping so the reader can see how
+               # far past the model the measurement landed
+               "frac_of_sol_net_dispatch": round(
+                   sol[name] / max(timed[name][0] - dispatch_s, 1e-9), 3)}
         for name in timed
     }
     extra["best_backend"] = best_backend

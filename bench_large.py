@@ -274,6 +274,12 @@ def main():
 
         fns.clear()
         del timed, m1, m2
+        if bsr_feasible:
+            # the loop locals still pin the BSR device payloads (largest
+            # single allocation at 250K+) after fns.clear() drops the
+            # lambdas that captured them
+            del b1, b2
+        del a1b, a2b
         built = {k: v for k, v in built.items()
                  if k.startswith("cootile-cluster")}
         gc.collect()

@@ -170,6 +170,7 @@ def test_fused_attention_vjp_matches_autodiff():
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_attention_vmem_guard_falls_back():
     """Graphs whose whole-array operands exceed the VMEM budget fall back
     to the segment composition with a warning instead of a scoped-VMEM

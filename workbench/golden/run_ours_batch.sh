@@ -25,7 +25,8 @@ run_one() {
   echo "done ours $tag s$seed"
 }
 
-for seed in 123 42 7 1 2 3 4 5; do
+# 20 shared seeds (round 3, matching run_ref_lr01_batch.sh)
+for seed in 123 42 7 1 2 3 4 5 6 8 9 10 11 12 13 14 15 16 17 19; do
   for cfg in \
     "ind.cora:M64-R-T1-G-V-T2-G-V-C1-C2-D0.5-MO:h2gcn2_cora" \
     "ind.cora:M64-R-T1-G-V-C1-D0.5-MO:h2gcn1_cora" \
@@ -33,7 +34,7 @@ for seed in 123 42 7 1 2 3 4 5; do
     "ind.citeseer:M64-R-T1-G-V-C1-D0.5-MO:h2gcn1_citeseer"; do
     IFS=: read ds net tag <<< "$cfg"
     run_one "$ds" "$net" "$tag" "$seed" &
-    while [ "$(jobs -r | wc -l)" -ge 2 ]; do wait -n; done
+    while [ "$(jobs -r | wc -l)" -ge 1 ]; do wait -n; done
   done
 done
 wait

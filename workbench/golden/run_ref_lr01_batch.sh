@@ -13,15 +13,20 @@ run_one() {
   local ds=$1 net=$2 tag=$3 seed=$4
   local out="ref_lr01/ref_${tag}_s${seed}.log"
   if grep -q "Best performance" "$out" 2>/dev/null; then return; fi
+  # unique --run_id: parallel same-second starts otherwise collide on the
+  # reference's timestamp-named checkpoint dir (logger.py:20-21,38-41)
   timeout 2400 python run_reference_train.py H2GCN planetoid \
     --dataset "$ds" \
     --dataset_path /root/reference/baselines/mixhop/data/planetoid/data \
     --network_setup "$net" --random_seed "$seed" --epochs 800 \
+    --run_id "r3_${tag}_s${seed}" \
     > "$out" 2>&1
   echo "done ref-lr01 $tag s$seed"
 }
 
-for seed in 1 2 3 4 5 7 42 123; do
+# 20 shared seeds (round 3: CI half-width < 0.3 needs n >= 20 at the
+# observed per-seed stds — VERDICT r2 item 5)
+for seed in 1 2 3 4 5 7 42 123 6 8 9 10 11 12 13 14 15 16 17 19; do
   for cfg in \
     "ind.cora:M64-R-T1-G-V-T2-G-V-C1-C2-D0.5-MO:h2gcn2_cora" \
     "ind.cora:M64-R-T1-G-V-C1-D0.5-MO:h2gcn1_cora" \
