@@ -25,6 +25,61 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
+def _attn_tile_update(mask, f1, f2, h, m_scr, l_scr, acc_scr,
+                      num_heads: int, feat: int, slope: float):
+    """One (dest-tile, src-tile) block's online-softmax update.
+
+    Shared by the BSR kernel (mask from a dense block) and the COO-chunk
+    kernel (mask densified on the MXU from the chunk's edge list,
+    pallas_attention_coo.py). ``mask: [Br, Bc]`` bool; scratch refs carry
+    the running max / normalizer / accumulator across a dest tile's blocks.
+    """
+    for k in range(num_heads):
+        f1k = f1[:, k][:, None]            # [B, 1] destination term
+        f2k = f2[:, k][None, :]            # [1, B] source term
+        e = f1k + f2k
+        e = jnp.where(e >= 0, e, slope * e)  # leaky relu
+        e = jnp.where(mask, e, _NEG_INF)
+
+        m_old = m_scr[:, k][:, None]
+        m_new = jnp.maximum(m_old, jnp.max(e, axis=1, keepdims=True))
+        scale = jnp.exp(m_old - m_new)
+        p = jnp.exp(e - m_new)              # [B, B]
+        p = jnp.where(mask, p, 0.0)
+
+        l_new = l_scr[:, k][:, None] * scale + jnp.sum(
+            p, axis=1, keepdims=True
+        )
+        hk = h[:, k * feat:(k + 1) * feat]
+        contrib = jnp.dot(p, hk, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+        acc_scr[:, k * feat:(k + 1) * feat] = (
+            acc_scr[:, k * feat:(k + 1) * feat] * scale + contrib
+        )
+        m_scr[:, k] = m_new[:, 0]
+        l_scr[:, k] = l_new[:, 0]
+
+
+def _attn_finalize(acc_scr, l_scr, num_heads: int, feat: int):
+    """Normalized output tile from the accumulator + per-head normalizer.
+
+    Builds the per-head divisor by concatenation (a value-level .at[].set
+    would lower to an unsupported scatter).
+    """
+    b = acc_scr.shape[0]
+    parts = [
+        jnp.broadcast_to(
+            jnp.maximum(l_scr[:, k][:, None], 1e-16), (b, feat)
+        )
+        for k in range(num_heads)
+    ]
+    width = acc_scr.shape[1]
+    used = num_heads * feat
+    if used < width:
+        parts.append(jnp.ones((b, width - used), jnp.float32))
+    return acc_scr[...] / jnp.concatenate(parts, axis=1)
+
+
 def _make_kernel(num_heads: int, feat: int, nb: int, slope: float):
     def kernel(brows_ref, bcols_ref, a_ref, f1_ref, f2_ref, h_ref, o_ref,
                m_scr, l_scr, acc_scr):
@@ -41,47 +96,12 @@ def _make_kernel(num_heads: int, feat: int, nb: int, slope: float):
             acc_scr[...] = jnp.zeros_like(acc_scr)
 
         mask = a_ref[0] > 0  # [B, B]
-        for k in range(num_heads):
-            f1k = f1_ref[:, k][:, None]        # [B, 1] destination term
-            f2k = f2_ref[:, k][None, :]        # [1, B] source term
-            e = f1k + f2k
-            e = jnp.where(e >= 0, e, slope * e)  # leaky relu
-            e = jnp.where(mask, e, _NEG_INF)
-
-            m_old = m_scr[:, k][:, None]
-            m_new = jnp.maximum(m_old, jnp.max(e, axis=1, keepdims=True))
-            scale = jnp.exp(m_old - m_new)
-            p = jnp.exp(e - m_new)              # [B, B]
-            p = jnp.where(mask, p, 0.0)
-
-            l_new = l_scr[:, k][:, None] * scale + jnp.sum(
-                p, axis=1, keepdims=True
-            )
-            hk = h_ref[:, k * feat:(k + 1) * feat]
-            contrib = jnp.dot(p, hk, preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)
-            acc_scr[:, k * feat:(k + 1) * feat] = (
-                acc_scr[:, k * feat:(k + 1) * feat] * scale + contrib
-            )
-            m_scr[:, k] = m_new[:, 0]
-            l_scr[:, k] = l_new[:, 0]
+        _attn_tile_update(mask, f1_ref[...], f2_ref[...], h_ref[...],
+                          m_scr, l_scr, acc_scr, num_heads, feat, slope)
 
         @pl.when(is_last)
         def _():
-            # build the per-head normalizer by concatenation (a value-level
-            # .at[].set would lower to an unsupported scatter)
-            b = acc_scr.shape[0]
-            parts = [
-                jnp.broadcast_to(
-                    jnp.maximum(l_scr[:, k][:, None], 1e-16), (b, feat)
-                )
-                for k in range(num_heads)
-            ]
-            width = acc_scr.shape[1]
-            used = num_heads * feat
-            if used < width:
-                parts.append(jnp.ones((b, width - used), jnp.float32))
-            o_ref[...] = acc_scr[...] / jnp.concatenate(parts, axis=1)
+            o_ref[...] = _attn_finalize(acc_scr, l_scr, num_heads, feat)
 
     return kernel
 
@@ -197,15 +217,81 @@ def _fwd_stats_call(bsr, f1p, f2p, hp, num_heads: int, feat: int,
 
 
 
-def _block_alpha(a_ref, f1k, f2k, mk, lk, slope):
-    """Recompute one head's α block + leaky' mask from saved stats."""
-    mask = a_ref > 0
+def _block_alpha(mask, f1k, f2k, mk, lk, slope):
+    """Recompute one head's α block + leaky' mask from saved stats.
+
+    ``mask: [Br, Bc]`` bool — shared by the BSR backward kernels (mask from
+    a dense block) and the COO-chunk ones (mask densified from edges)."""
     pre = f1k[:, None] + f2k[None, :]
     e = jnp.where(pre >= 0, pre, slope * pre)
     p = jnp.where(mask, jnp.exp(e - mk[:, None]), 0.0)
     alpha = p / jnp.maximum(lk[:, None], 1e-16)
     dleaky = jnp.where(pre >= 0, 1.0, slope)
     return alpha, jnp.where(mask, dleaky, 0.0)
+
+
+def _bwd_row_update(mask, f1, f2, h, g, m, l, d, acc_scr,
+                    num_heads: int, feat: int, slope: float):
+    """Row-pass per-block df1 accumulation (shared BSR / COO-chunk)."""
+    parts = []
+    for k in range(num_heads):
+        alpha, dleaky = _block_alpha(mask, f1[:, k], f2[:, k], m[:, k],
+                                     l[:, k], slope)
+        gk = g[:, k * feat:(k + 1) * feat]
+        hk = h[:, k * feat:(k + 1) * feat]
+        gh = jax.lax.dot_general(
+            gk, hk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        de = alpha * (gh - d[:, k][:, None])
+        dpre = de * dleaky
+        parts.append(jnp.sum(dpre, axis=1, keepdims=True))
+    width = acc_scr.shape[1]
+    if num_heads < width:
+        parts.append(jnp.zeros((acc_scr.shape[0], width - num_heads),
+                               jnp.float32))
+    acc_scr[...] = acc_scr[...] + jnp.concatenate(parts, axis=1)
+
+
+def _bwd_col_update(mask, f1, f2, h, g, m, l, d, dh_scr, df2_scr,
+                    num_heads: int, feat: int, slope: float):
+    """Column-pass per-block dh/df2 accumulation (shared BSR / COO-chunk)."""
+    dh_parts = []
+    df2_parts = []
+    for k in range(num_heads):
+        alpha, dleaky = _block_alpha(mask, f1[:, k], f2[:, k], m[:, k],
+                                     l[:, k], slope)
+        gk = g[:, k * feat:(k + 1) * feat]
+        hk = h[:, k * feat:(k + 1) * feat]
+        # dh_c += αᵀ @ g  (contract the destination dim)
+        dh_parts.append(jax.lax.dot_general(
+            alpha, gk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ))
+        gh = jax.lax.dot_general(
+            gk, hk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        de = alpha * (gh - d[:, k][:, None])
+        dpre = de * dleaky
+        df2_parts.append(jnp.sum(dpre, axis=0)[:, None])
+    dh_blk = jnp.concatenate(dh_parts, axis=1)
+    if dh_blk.shape[1] < dh_scr.shape[1]:
+        dh_blk = jnp.concatenate(
+            [dh_blk, jnp.zeros((dh_blk.shape[0],
+                                dh_scr.shape[1] - dh_blk.shape[1]),
+                               jnp.float32)], axis=1)
+    df2_blk = jnp.concatenate(df2_parts, axis=1)
+    if df2_blk.shape[1] < df2_scr.shape[1]:
+        df2_blk = jnp.concatenate(
+            [df2_blk, jnp.zeros((df2_blk.shape[0],
+                                 df2_scr.shape[1] - df2_blk.shape[1]),
+                                jnp.float32)], axis=1)
+    dh_scr[...] = dh_scr[...] + dh_blk
+    df2_scr[...] = df2_scr[...] + df2_blk
 
 
 def _make_bwd_row_kernel(num_heads: int, feat: int, nb: int, slope: float):
@@ -223,27 +309,9 @@ def _make_bwd_row_kernel(num_heads: int, feat: int, nb: int, slope: float):
         def _():
             acc_scr[...] = jnp.zeros_like(acc_scr)
 
-        parts = []
-        for k in range(num_heads):
-            alpha, dleaky = _block_alpha(
-                a_ref[0], f1_ref[:, k], f2_ref[:, k], m_ref[:, k],
-                l_ref[:, k], slope,
-            )
-            gk = g_ref[:, k * feat:(k + 1) * feat]
-            hk = h_ref[:, k * feat:(k + 1) * feat]
-            gh = jax.lax.dot_general(
-                gk, hk, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            de = alpha * (gh - d_ref[:, k][:, None])
-            dpre = de * dleaky
-            parts.append(jnp.sum(dpre, axis=1, keepdims=True))
-        width = acc_scr.shape[1]
-        if num_heads < width:
-            parts.append(jnp.zeros((acc_scr.shape[0], width - num_heads),
-                                   jnp.float32))
-        acc_scr[...] = acc_scr[...] + jnp.concatenate(parts, axis=1)
+        _bwd_row_update(a_ref[0] > 0, f1_ref[...], f2_ref[...], h_ref[...],
+                        g_ref[...], m_ref[...], l_ref[...], d_ref[...],
+                        acc_scr, num_heads, feat, slope)
 
         @pl.when(is_last)
         def _():
@@ -269,43 +337,9 @@ def _make_bwd_col_kernel(num_heads: int, feat: int, nb: int, slope: float):
             dh_scr[...] = jnp.zeros_like(dh_scr)
             df2_scr[...] = jnp.zeros_like(df2_scr)
 
-        dh_parts = []
-        df2_parts = []
-        for k in range(num_heads):
-            alpha, dleaky = _block_alpha(
-                a_ref[0], f1_ref[:, k], f2_ref[:, k], m_ref[:, k],
-                l_ref[:, k], slope,
-            )
-            gk = g_ref[:, k * feat:(k + 1) * feat]
-            hk = h_ref[:, k * feat:(k + 1) * feat]
-            # dh_c += αᵀ @ g  (contract the destination dim)
-            dh_parts.append(jax.lax.dot_general(
-                alpha, gk, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            ))
-            gh = jax.lax.dot_general(
-                gk, hk, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            de = alpha * (gh - d_ref[:, k][:, None])
-            dpre = de * dleaky
-            df2_parts.append(jnp.sum(dpre, axis=0)[:, None])
-        dh_blk = jnp.concatenate(dh_parts, axis=1)
-        if dh_blk.shape[1] < dh_scr.shape[1]:
-            dh_blk = jnp.concatenate(
-                [dh_blk, jnp.zeros((dh_blk.shape[0],
-                                    dh_scr.shape[1] - dh_blk.shape[1]),
-                                   jnp.float32)], axis=1)
-        df2_blk = jnp.concatenate(df2_parts, axis=1)
-        if df2_blk.shape[1] < df2_scr.shape[1]:
-            df2_blk = jnp.concatenate(
-                [df2_blk, jnp.zeros((df2_blk.shape[0],
-                                     df2_scr.shape[1] - df2_blk.shape[1]),
-                                    jnp.float32)], axis=1)
-        dh_scr[...] = dh_scr[...] + dh_blk
-        df2_scr[...] = df2_scr[...] + df2_blk
+        _bwd_col_update(a_ref[0] > 0, f1_ref[...], f2_ref[...], h_ref[...],
+                        g_ref[...], m_ref[...], l_ref[...], d_ref[...],
+                        dh_scr, df2_scr, num_heads, feat, slope)
 
         @pl.when(is_last)
         def _():
