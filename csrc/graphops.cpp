@@ -32,11 +32,20 @@ extern "C" {
 
 // Phase 1: count nnz per row of C = A(boolean) * B(boolean).
 // indptr arrays are int64[n+1]; indices int32[nnz].
-void bool_spgemm_count(int64_t n_rows, int64_t n_cols,
-                       const int64_t* a_indptr, const int32_t* a_indices,
-                       const int64_t* b_indptr, const int32_t* b_indices,
-                       int64_t* c_row_counts) {
-#pragma omp parallel
+// The _nt variants cap the OpenMP team size (nt <= 0 = runtime default):
+// the thread-transport distributed spgemm (parallel/spgemm.py) runs P
+// concurrent Python workers, each of which must own ncpu/P OMP lanes
+// instead of oversubscribing P full teams.
+void bool_spgemm_count_nt(int64_t n_rows, int64_t n_cols,
+                          const int64_t* a_indptr, const int32_t* a_indices,
+                          const int64_t* b_indptr, const int32_t* b_indices,
+                          int64_t* c_row_counts, int64_t nt) {
+#ifdef _OPENMP
+    if (nt <= 0) nt = omp_get_max_threads();
+#else
+    (void)nt;
+#endif
+#pragma omp parallel num_threads(nt)
     {
         std::vector<int64_t> stamp(n_cols, -1);
 #pragma omp for schedule(dynamic, 64)
@@ -57,12 +66,26 @@ void bool_spgemm_count(int64_t n_rows, int64_t n_cols,
     }
 }
 
+void bool_spgemm_count(int64_t n_rows, int64_t n_cols,
+                       const int64_t* a_indptr, const int32_t* a_indices,
+                       const int64_t* b_indptr, const int32_t* b_indices,
+                       int64_t* c_row_counts) {
+    bool_spgemm_count_nt(n_rows, n_cols, a_indptr, a_indices, b_indptr,
+                         b_indices, c_row_counts, 0);
+}
+
 // Phase 2: fill C's column indices (sorted per row).
-void bool_spgemm_fill(int64_t n_rows, int64_t n_cols,
-                      const int64_t* a_indptr, const int32_t* a_indices,
-                      const int64_t* b_indptr, const int32_t* b_indices,
-                      const int64_t* c_indptr, int32_t* c_indices) {
-#pragma omp parallel
+void bool_spgemm_fill_nt(int64_t n_rows, int64_t n_cols,
+                         const int64_t* a_indptr, const int32_t* a_indices,
+                         const int64_t* b_indptr, const int32_t* b_indices,
+                         const int64_t* c_indptr, int32_t* c_indices,
+                         int64_t nt) {
+#ifdef _OPENMP
+    if (nt <= 0) nt = omp_get_max_threads();
+#else
+    (void)nt;
+#endif
+#pragma omp parallel num_threads(nt)
     {
         std::vector<int64_t> stamp(n_cols, -1);
 #pragma omp for schedule(dynamic, 64)
@@ -82,6 +105,14 @@ void bool_spgemm_fill(int64_t n_rows, int64_t n_cols,
             std::sort(c_indices + start, c_indices + out);
         }
     }
+}
+
+void bool_spgemm_fill(int64_t n_rows, int64_t n_cols,
+                      const int64_t* a_indptr, const int32_t* a_indices,
+                      const int64_t* b_indptr, const int32_t* b_indices,
+                      const int64_t* c_indptr, int32_t* c_indices) {
+    bool_spgemm_fill_nt(n_rows, n_cols, a_indptr, a_indices, b_indptr,
+                        b_indices, c_indptr, c_indices, 0);
 }
 
 // C = A \ B on sorted CSR index sets; phase 1 counts.
@@ -226,6 +257,6 @@ void rcm_order(int64_t n, const int64_t* indptr, const int32_t* indices,
     for (int64_t i = 0; i < n; ++i) perm[i] = order[n - 1 - i];
 }
 
-int graphops_version() { return 2; }
+int graphops_version() { return 3; }
 
 }  // extern "C"

@@ -43,7 +43,10 @@ def _load():
                 raise
         lib = ctypes.CDLL(str(_LIB_PATH))
         lib.graphops_version.restype = ctypes.c_int
-        assert lib.graphops_version() >= 1
+        # v3 adds the *_nt (OpenMP-team-capped) spgemm entry points; an
+        # older .so that make couldn't refresh must fall back to scipy
+        # rather than crash on a missing symbol
+        assert lib.graphops_version() >= 3
         _lib = lib
     except Exception as e:  # noqa: BLE001 — fall back to scipy
         warnings.warn(f"graphops native library unavailable ({e}); "
@@ -78,8 +81,15 @@ def _as_csr_idx(m: sp.csr_matrix):
     return indptr, indices
 
 
-def bool_spgemm(a: sp.csr_matrix, b: sp.csr_matrix) -> sp.csr_matrix:
-    """Boolean sparse×sparse product: 1[(A@B) > 0], data all ones."""
+def bool_spgemm(a: sp.csr_matrix, b: sp.csr_matrix,
+                num_threads: int = 0) -> sp.csr_matrix:
+    """Boolean sparse×sparse product: 1[(A@B) > 0], data all ones.
+
+    ``num_threads`` caps the kernel's OpenMP team (0 = runtime default) —
+    the thread-transport distributed spgemm gives each of its P concurrent
+    workers ``ncpu//P`` lanes instead of oversubscribing P full teams. The
+    ctypes calls release the GIL, so P Python threads run these kernels
+    genuinely in parallel."""
     lib = _load()
     if lib is None:
         c = (a @ b)
@@ -91,15 +101,16 @@ def bool_spgemm(a: sp.csr_matrix, b: sp.csr_matrix) -> sp.csr_matrix:
     a_ip, a_ix = _as_csr_idx(a.tocsr())
     b_ip, b_ix = _as_csr_idx(b.tocsr())
     counts = np.zeros(n, dtype=np.int64)
-    lib.bool_spgemm_count(ctypes.c_int64(n), ctypes.c_int64(m),
-                          _p64(a_ip), _p32(a_ix), _p64(b_ip), _p32(b_ix),
-                          _p64(counts))
+    lib.bool_spgemm_count_nt(ctypes.c_int64(n), ctypes.c_int64(m),
+                             _p64(a_ip), _p32(a_ix), _p64(b_ip), _p32(b_ix),
+                             _p64(counts), ctypes.c_int64(num_threads))
     c_indptr = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(counts, out=c_indptr[1:])
     c_indices = np.empty(c_indptr[-1], dtype=np.int32)
-    lib.bool_spgemm_fill(ctypes.c_int64(n), ctypes.c_int64(m),
-                         _p64(a_ip), _p32(a_ix), _p64(b_ip), _p32(b_ix),
-                         _p64(c_indptr), _p32(c_indices))
+    lib.bool_spgemm_fill_nt(ctypes.c_int64(n), ctypes.c_int64(m),
+                            _p64(a_ip), _p32(a_ix), _p64(b_ip), _p32(b_ix),
+                            _p64(c_indptr), _p32(c_indices),
+                            ctypes.c_int64(num_threads))
     data = np.ones(c_indptr[-1], dtype=np.float32)
     return sp.csr_matrix((data, c_indices, c_indptr), shape=(n, m))
 

@@ -25,6 +25,22 @@ Design (matches a multi-host TPU pod layout, DCN between hosts):
 * Exact-hop extraction ``hop_{t+1} = R_{t+1} ∖ R_t`` happens on the still
   row-sharded results; only the final hop matrices are concatenated.
 
+Two transports:
+
+* ``"threads"`` (default): on one host, shared memory IS the interconnect —
+  P Python threads each run the GIL-releasing native kernel against the
+  shared ``R₁`` with ``ncpu//P`` OpenMP lanes apiece (no halo extraction,
+  no serialization; the per-shard halo volumes are still measured and
+  reported as the would-be DCN traffic). This replaced round 2's
+  process-pickle transport, which ANTI-scaled: shipping the halo slices
+  and the expanded shards back through pickles cost 13-30× the compute
+  (docs/bench_large.json r2: 6.3→14.3 s going 1→4 workers, vs 0.46 s
+  single-host).
+* ``"processes"``: the round-2 semantics-faithful mode — the coordinator
+  really extracts and ships each worker's halo, so worker memory is
+  provably shard + halo. Kept for multi-host-deployment validation and
+  for measuring serialization cost; not a single-host performance path.
+
 Output contract is identical to :func:`h2gcn_tpu.sparse.transforms.nhood_split`
 (``[I, A₁ᵉˣ, A₂ᵉˣ, ...]`` with early termination when reachability stops
 growing), and ``tests/test_dist_spgemm.py`` asserts equality.
@@ -84,18 +100,34 @@ def _expand_shard(r_indptr, r_indices, n_cols, needed, b_indptr, b_indices):
     return c.indptr, c.indices
 
 
+def _expand_shard_shared(r_shard, base, n_threads):
+    """Thread-transport worker: boolean product straight against the shared
+    ``R₁`` (no halo extraction — shared memory is the interconnect), with a
+    capped OpenMP team so P concurrent workers don't oversubscribe. Returns
+    the expanded shard plus the halo volume a DCN deployment WOULD ship."""
+    from ..native import bool_spgemm
+
+    needed = np.unique(r_shard.indices)
+    halo_nnz = int(np.diff(base.indptr)[needed].sum()) if needed.size else 0
+    halo_bytes = int(needed.size * 8 + halo_nnz * 4 + (needed.size + 1) * 8)
+    c = bool_spgemm(r_shard, base, num_threads=n_threads)
+    return c, int(needed.size), halo_bytes
+
+
 def dist_nhood_split(
     adj: sp.spmatrix,
     nhood: int,
     n_workers: int = 1,
     return_stats: bool = False,
     pool: Optional[ProcessPoolExecutor] = None,
+    transport: str = "threads",
 ):
     """Row-sharded exact-hop split ``[I, A₁ᵉˣ, ..., A_kᵉˣ]`` over P workers.
 
     ``n_workers=1`` runs the same sharded algorithm in-process (useful for
     validation); ``pool`` lets a caller amortize executor startup over
-    multiple graphs.
+    multiple graphs (process transport only). See the module docstring for
+    the ``transport`` contract.
     """
     assert adj.ndim == 2 and adj.shape[0] == adj.shape[1]
     n = adj.shape[0]
@@ -107,6 +139,10 @@ def dist_nhood_split(
 
     stats = SpgemmStats(n_workers=n_workers)
     out = [sp.eye(n, format="csr", dtype=np.float32)]
+    if transport == "threads" and pool is None:
+        return _dist_nhood_split_threads(
+            n, base, bounds, shards, nhood, n_workers, stats, out,
+            return_stats)
     own_pool = None
     if n_workers > 1 and pool is None:
         # spawn (not fork): the parent may hold a live TPU client and warm
@@ -181,4 +217,47 @@ def dist_nhood_split(
         if own_pool is not None:
             own_pool.shutdown()
 
+    return (out, stats) if return_stats else out
+
+
+def _dist_nhood_split_threads(n, base, bounds, shards, nhood, n_workers,
+                              stats, out, return_stats):
+    """Thread-transport body: same sharded recurrence, shared-memory R₁."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..native import bool_subtract
+
+    lanes = max(1, (os.cpu_count() or 1) // n_workers)
+    prev_shards = [
+        sp.eye(n, format="csr",
+               dtype=np.float32)[bounds[p]:bounds[p + 1]].tocsr()
+        for p in range(n_workers)
+    ]
+    edge_sum = 0.0
+    cur_shards = None
+    with ThreadPoolExecutor(max_workers=n_workers) as tp:
+        for hop in range(1, nhood + 1):
+            if hop == 1:
+                cur_shards = shards  # I ⊙ R₁ = R₁ — no expansion round
+            else:
+                results = list(tp.map(
+                    lambda r: _expand_shard_shared(r, base, lanes),
+                    cur_shards))
+                prev_shards = cur_shards
+                cur_shards = [r[0] for r in results]
+                stats.halo_rows.append([r[1] for r in results])
+                stats.halo_bytes.append([r[2] for r in results])
+                stats.rounds += 1
+            new_edge_sum = float(sum(c.nnz for c in cur_shards))
+            if new_edge_sum == edge_sum:
+                break  # reachability saturated — same contract as nhood_split
+            edge_sum = new_edge_sum
+
+            diff_parts = list(tp.map(
+                lambda cp: bool_subtract(cp[0], cp[1]),
+                zip(cur_shards, prev_shards)))
+            stats.shard_nnz.append([int(d.nnz) for d in diff_parts])
+            out.append(sp.vstack(diff_parts).tocsr())
+            prev_shards = cur_shards
     return (out, stats) if return_stats else out

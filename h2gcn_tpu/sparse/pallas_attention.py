@@ -26,7 +26,8 @@ _NEG_INF = -1e30
 
 
 def _attn_tile_update(mask, f1, f2, h, m_scr, l_scr, acc_scr,
-                      num_heads: int, feat: int, slope: float):
+                      num_heads: int, feat: int, slope: float,
+                      precision=jax.lax.Precision.HIGHEST):
     """One (dest-tile, src-tile) block's online-softmax update.
 
     Shared by the BSR kernel (mask from a dense block) and the COO-chunk
@@ -52,7 +53,7 @@ def _attn_tile_update(mask, f1, f2, h, m_scr, l_scr, acc_scr,
         )
         hk = h[:, k * feat:(k + 1) * feat]
         contrib = jnp.dot(p, hk, preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
+                          precision=precision)
         acc_scr[:, k * feat:(k + 1) * feat] = (
             acc_scr[:, k * feat:(k + 1) * feat] * scale + contrib
         )
@@ -231,7 +232,8 @@ def _block_alpha(mask, f1k, f2k, mk, lk, slope):
 
 
 def _bwd_row_update(mask, f1, f2, h, g, m, l, d, acc_scr,
-                    num_heads: int, feat: int, slope: float):
+                    num_heads: int, feat: int, slope: float,
+                    precision=jax.lax.Precision.HIGHEST):
     """Row-pass per-block df1 accumulation (shared BSR / COO-chunk)."""
     parts = []
     for k in range(num_heads):
@@ -242,7 +244,7 @@ def _bwd_row_update(mask, f1, f2, h, g, m, l, d, acc_scr,
         gh = jax.lax.dot_general(
             gk, hk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=precision,
         )
         de = alpha * (gh - d[:, k][:, None])
         dpre = de * dleaky
@@ -255,7 +257,8 @@ def _bwd_row_update(mask, f1, f2, h, g, m, l, d, acc_scr,
 
 
 def _bwd_col_update(mask, f1, f2, h, g, m, l, d, dh_scr, df2_scr,
-                    num_heads: int, feat: int, slope: float):
+                    num_heads: int, feat: int, slope: float,
+                    precision=jax.lax.Precision.HIGHEST):
     """Column-pass per-block dh/df2 accumulation (shared BSR / COO-chunk)."""
     dh_parts = []
     df2_parts = []
@@ -268,12 +271,12 @@ def _bwd_col_update(mask, f1, f2, h, g, m, l, d, dh_scr, df2_scr,
         dh_parts.append(jax.lax.dot_general(
             alpha, gk, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=precision,
         ))
         gh = jax.lax.dot_general(
             gk, hk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=precision,
         )
         de = alpha * (gh - d[:, k][:, None])
         dpre = de * dleaky

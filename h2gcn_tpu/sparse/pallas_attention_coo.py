@@ -57,6 +57,11 @@ from .pallas_cootile import _MAX_CHUNKS, build_chunk_tables
 # budget — see docs/BENCHMARKS.md history.)
 _VMEM_LIMIT = 96 * 1024 * 1024
 
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,   # 6-pass f32 MXU (parity mode)
+    "default": jax.lax.Precision.DEFAULT,   # 1-pass bf16, f32 accumulation
+}
+
 _KB_FWD = 8   # chunks per grid step, forward + backward-row passes
 _KB_COL = 8   # backward-column pass (5 slot operands/chunk fit under _VMEM_LIMIT)
 
@@ -180,7 +185,8 @@ def _group_edges(i, grp_ref, nsteps, kb):
     return is_first, is_last
 
 
-def _make_fwd_kernel(num_heads, feat, nsteps, slope, tile, e_b, kb):
+def _make_fwd_kernel(num_heads, feat, nsteps, slope, tile, e_b, kb,
+                     precision):
     def kernel(grp_ref, oth_ref, rows_ref, cols_ref, vals_ref, f1_ref,
                *rest):
         f2s, rest = rest[:kb], rest[kb:]
@@ -200,7 +206,8 @@ def _make_fwd_kernel(num_heads, feat, nsteps, slope, tile, e_b, kb):
             mask = _densify_mask(rows_ref[k], cols_ref[k], vals_ref[k],
                                  tile, e_b)
             _attn_tile_update(mask, f1, f2s[k][...], hs[k][...],
-                              m_scr, l_scr, acc_scr, num_heads, feat, slope)
+                              m_scr, l_scr, acc_scr, num_heads, feat, slope,
+                              precision)
 
         @pl.when(is_last)
         def _():
@@ -211,7 +218,8 @@ def _make_fwd_kernel(num_heads, feat, nsteps, slope, tile, e_b, kb):
     return kernel
 
 
-def _make_bwd_row_kernel(num_heads, feat, nsteps, slope, tile, e_b, kb):
+def _make_bwd_row_kernel(num_heads, feat, nsteps, slope, tile, e_b, kb,
+                         precision):
     def kernel(grp_ref, oth_ref, rows_ref, cols_ref, vals_ref,
                f1_ref, g_ref, m_ref, l_ref, d_ref, *rest):
         f2s, rest = rest[:kb], rest[kb:]
@@ -230,7 +238,7 @@ def _make_bwd_row_kernel(num_heads, feat, nsteps, slope, tile, e_b, kb):
             mask = _densify_mask(rows_ref[k], cols_ref[k], vals_ref[k],
                                  tile, e_b)
             _bwd_row_update(mask, f1, f2s[k][...], hs[k][...], g, m, l, d,
-                            acc_scr, num_heads, feat, slope)
+                            acc_scr, num_heads, feat, slope, precision)
 
         @pl.when(is_last)
         def _():
@@ -239,7 +247,8 @@ def _make_bwd_row_kernel(num_heads, feat, nsteps, slope, tile, e_b, kb):
     return kernel
 
 
-def _make_bwd_col_kernel(num_heads, feat, nsteps, slope, tile, e_b, kb):
+def _make_bwd_col_kernel(num_heads, feat, nsteps, slope, tile, e_b, kb,
+                         precision):
     def kernel(grp_ref, oth_ref, rows_ref, cols_ref, vals_ref,
                f2_ref, h_ref, *rest):
         f1s, rest = rest[:kb], rest[kb:]
@@ -265,7 +274,8 @@ def _make_bwd_col_kernel(num_heads, feat, nsteps, slope, tile, e_b, kb):
                                  tile, e_b)
             _bwd_col_update(mask, f1s[k][...], f2, h, gs[k][...],
                             ms[k][...], ls[k][...], ds[k][...],
-                            dh_scr, df2_scr, num_heads, feat, slope)
+                            dh_scr, df2_scr, num_heads, feat, slope,
+                            precision)
 
         @pl.when(is_last)
         def _():
@@ -301,7 +311,7 @@ def _oth_slots(shape, kb):
 
 @functools.lru_cache(maxsize=None)
 def _fwd_fn(nchunks, lo, span, tile, e_b, num_heads, feat, f_lane, h_pad,
-            slope, interpret):
+            slope, interpret, prec_name):
     kb = _KB_FWD
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -323,7 +333,7 @@ def _fwd_fn(nchunks, lo, span, tile, e_b, num_heads, feat, f_lane, h_pad,
     )
     return pl.pallas_call(
         _make_fwd_kernel(num_heads, feat, nchunks // kb, slope, tile, e_b,
-                         kb),
+                         kb, _PRECISIONS[prec_name]),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((span * tile, h_pad), jnp.float32),
@@ -339,7 +349,7 @@ def _fwd_fn(nchunks, lo, span, tile, e_b, num_heads, feat, f_lane, h_pad,
 
 @functools.lru_cache(maxsize=None)
 def _bwd_row_fn(nchunks, lo, span, tile, e_b, num_heads, feat, f_lane,
-                h_pad, slope, interpret):
+                h_pad, slope, interpret, prec_name):
     kb = _KB_FWD
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -357,7 +367,7 @@ def _bwd_row_fn(nchunks, lo, span, tile, e_b, num_heads, feat, f_lane,
     )
     return pl.pallas_call(
         _make_bwd_row_kernel(num_heads, feat, nchunks // kb, slope, tile,
-                             e_b, kb),
+                             e_b, kb, _PRECISIONS[prec_name]),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((span * tile, f_lane), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -369,7 +379,7 @@ def _bwd_row_fn(nchunks, lo, span, tile, e_b, num_heads, feat, f_lane,
 
 @functools.lru_cache(maxsize=None)
 def _bwd_col_fn(nchunks, lo, span, tile, e_b, num_heads, feat, f_lane,
-                h_pad, slope, interpret):
+                h_pad, slope, interpret, prec_name):
     kb = _KB_COL
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -393,7 +403,7 @@ def _bwd_col_fn(nchunks, lo, span, tile, e_b, num_heads, feat, f_lane,
     )
     return pl.pallas_call(
         _make_bwd_col_kernel(num_heads, feat, nchunks // kb, slope, tile,
-                             e_b, kb),
+                             e_b, kb, _PRECISIONS[prec_name]),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((span * tile, h_pad), jnp.float32),
@@ -439,14 +449,15 @@ def _run_segments(segs, fn_builder, args_for, n_outs):
     return outs[0] if n_outs == 1 else tuple(outs)
 
 
-def _coo_fwd_stats(ac, f1p, f2p, hp, num_heads, feat, slope, interpret):
+def _coo_fwd_stats(ac, f1p, f2p, hp, num_heads, feat, slope, interpret,
+                   precision="highest"):
     _, _, h_pad, f_lane = _dims(ac, num_heads, feat)
     kb = _KB_FWD
 
     def builder(seg):
         return _fwd_fn(int(seg.grp.shape[0]), seg.lo, seg.hi - seg.lo,
                        ac.tile, ac.e_b, num_heads, feat, f_lane, h_pad,
-                       slope, interpret)
+                       slope, interpret, precision)
 
     return _run_segments(
         ac.fwd, builder,
@@ -455,29 +466,33 @@ def _coo_fwd_stats(ac, f1p, f2p, hp, num_heads, feat, slope, interpret):
 
 def coo_gat_attention(ac: AttnCoo, f1, f2, h, *, num_heads: int, feat: int,
                       n_out: int, slope: float = 0.2,
-                      interpret: bool = False):
+                      interpret: bool = False, precision: str = "highest"):
     """Fused graph attention over COO-chunk tables (non-differentiable
     entry; see :func:`gat_attention_coo` for the custom-VJP one). Same
-    contract as :func:`pallas_attention.bsr_gat_attention`."""
+    contract as :func:`pallas_attention.bsr_gat_attention`. ``precision``:
+    "highest" = 6-pass f32 head contractions (parity mode); "default" =
+    single-pass bf16 with f32 accumulation (~6x fewer MXU FLOPs, ~4e-3
+    relative error — the at-scale training mode)."""
     _, hf, h_pad, f_lane = _dims(ac, num_heads, feat)
     f1p, f2p, hp = _pad_inputs(ac, (f1, f2, h), (f_lane, f_lane, h_pad))
     out, _, _ = _coo_fwd_stats(ac, f1p, f2p, hp, num_heads, feat, slope,
-                               interpret)
+                               interpret, precision)
     return out[:n_out, :hf]
 
 
 def gat_attention_coo(ac: AttnCoo, f1, f2, h, *, num_heads: int, feat: int,
                       n_out: int, slope: float = 0.2,
-                      interpret: bool = False):
+                      interpret: bool = False, precision: str = "highest"):
     """Differentiable fused attention over COO-chunk tables (custom VJP:
     two-pass flash-style backward, column pass over the transpose tables).
-    """
+    See :func:`coo_gat_attention` for the ``precision`` contract."""
     fn = _gat_attention_coo_vjp(ac, num_heads, feat, n_out, slope,
-                                interpret)
+                                interpret, precision)
     return fn(f1, f2, h)
 
 
-def _gat_attention_coo_vjp(ac, num_heads, feat, n_out, slope, interpret):
+def _gat_attention_coo_vjp(ac, num_heads, feat, n_out, slope, interpret,
+                           precision="highest"):
     _, hf, h_pad, f_lane = _dims(ac, num_heads, feat)
 
     @jax.custom_vjp
@@ -485,14 +500,14 @@ def _gat_attention_coo_vjp(ac, num_heads, feat, n_out, slope, interpret):
         f1p, f2p, hp = _pad_inputs(ac, (f1, f2, h),
                                    (f_lane, f_lane, h_pad))
         out, _, _ = _coo_fwd_stats(ac, f1p, f2p, hp, num_heads, feat,
-                                   slope, interpret)
+                                   slope, interpret, precision)
         return out[:n_out, :hf]
 
     def _apply_fwd(f1, f2, h):
         f1p, f2p, hp = _pad_inputs(ac, (f1, f2, h),
                                    (f_lane, f_lane, h_pad))
         out, m, l = _coo_fwd_stats(ac, f1p, f2p, hp, num_heads, feat,
-                                   slope, interpret)
+                                   slope, interpret, precision)
         return out[:n_out, :hf], (f1p, f2p, hp, out, m, l)
 
     def _apply_bwd(res, g):
@@ -513,7 +528,8 @@ def _gat_attention_coo_vjp(ac, num_heads, feat, n_out, slope, interpret):
         def row_builder(seg):
             return _bwd_row_fn(int(seg.grp.shape[0]), seg.lo,
                                seg.hi - seg.lo, ac.tile, ac.e_b, num_heads,
-                               feat, f_lane, h_pad, slope, interpret)
+                               feat, f_lane, h_pad, slope, interpret,
+                               precision)
 
         df1 = _run_segments(
             ac.fwd, row_builder,
@@ -523,7 +539,8 @@ def _gat_attention_coo_vjp(ac, num_heads, feat, n_out, slope, interpret):
         def col_builder(seg):
             return _bwd_col_fn(int(seg.grp.shape[0]), seg.lo,
                                seg.hi - seg.lo, ac.tile, ac.e_b, num_heads,
-                               feat, f_lane, h_pad, slope, interpret)
+                               feat, f_lane, h_pad, slope, interpret,
+                               precision)
 
         dh, df2 = _run_segments(
             ac.bwd, col_builder,

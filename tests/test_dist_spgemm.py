@@ -80,3 +80,20 @@ def test_edgeless_graph_matches_nhood_split():
     ref = transforms.nhood_split(a, 2)
     ours = dist_nhood_split(a, 2, n_workers=1)
     _assert_same(ours, ref)
+
+
+def test_transports_agree_and_report_stats():
+    """threads (shared-memory, default) and processes (pickle-shipped halo)
+    transports produce identical splits and comparable halo accounting."""
+    a = _rand_graph(120, 600, seed=5)
+    ref = transforms.nhood_split(a, 3)
+    thr, s_thr = dist_nhood_split(a, 3, n_workers=2, return_stats=True,
+                                  transport="threads")
+    prc, s_prc = dist_nhood_split(a, 3, n_workers=2, return_stats=True,
+                                  transport="processes")
+    _assert_same(thr, ref)
+    _assert_same(prc, ref)
+    assert s_thr.rounds == s_prc.rounds
+    # identical shards => identical halo-row counts in both transports
+    assert s_thr.halo_rows == s_prc.halo_rows
+    assert s_thr.total_halo_bytes > 0
