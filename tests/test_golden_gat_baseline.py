@@ -36,6 +36,42 @@ def golden():
     return np.load(GOLDEN)
 
 
+def _weight_map(params):
+    """(param_path, reference variable name) pairs in reference var order:
+    3 conv1d + 1 BiasAdd per attention head."""
+    def conv_name(i):
+        return "conv1d/kernel:0" if i == 0 else f"conv1d_{i}/kernel:0"
+
+    def conv_bias(i):
+        return f"conv1d_{i}/bias:0"
+
+    pairs = []
+    k = 0  # global head counter
+    for li, heads in enumerate(params["layers"]):
+        for hi, _ in enumerate(heads):
+            pairs.append(((li, hi, "W"), conv_name(3 * k), "kernel"))
+            pairs.append(((li, hi, "a1"), conv_name(3 * k + 1), "a"))
+            pairs.append(((li, hi, "b1"), conv_bias(3 * k + 1), "b"))
+            pairs.append(((li, hi, "a2"), conv_name(3 * k + 2), "a"))
+            pairs.append(((li, hi, "b2"), conv_bias(3 * k + 2), "b"))
+            bias_name = ("BiasAdd/biases:0" if k == 0
+                         else f"BiasAdd_{k}/biases:0")
+            pairs.append(((li, hi, "bias"), bias_name, "bias"))
+            k += 1
+    return pairs
+
+
+def _ref_weight(npz, prefix, name, kind):
+    w = npz[f"{prefix}/{name}"]
+    if kind == "kernel":
+        return w[0]            # [1,din,dout] → [din,dout]
+    if kind == "a":
+        return w[0][:, 0]      # [1,dout,1] → [dout]
+    if kind == "b":
+        return w[0]            # [1] → scalar-ish, broadcastable
+    return w                   # bias
+
+
 def _build(npz):
     hid_units = [int(h) for h in npz["meta/hid_units"]]
     n_heads = [int(h) for h in npz["meta/n_heads"]]
@@ -46,26 +82,12 @@ def _build(npz):
     x = jnp.asarray(npz["inputs/features"])
     params = model.init(jax.random.PRNGKey(0), x.shape[1], 1)
 
-    def conv_name(i):
-        return "conv1d/kernel:0" if i == 0 else f"conv1d_{i}/kernel:0"
-
-    def conv_bias(i):
-        return f"conv1d_{i}/bias:0"
-
-    k = 0  # global head counter: 3 conv1d + 1 BiasAdd per head, in order
-    for li, heads in enumerate(params["layers"]):
-        for hi, p in enumerate(heads):
-            w = npz[f"weights/{conv_name(3 * k)}"][0]  # [1,din,dout]→[din,dout]
+    for (li, hi, key), name, kind in _weight_map(params):
+        w = _ref_weight(npz, "weights", name, kind)
+        p = params["layers"][li][hi]
+        if key == "W":
             assert p["W"].shape == w.shape, (li, hi, p["W"].shape, w.shape)
-            p["W"] = jnp.asarray(w)
-            p["a1"] = jnp.asarray(npz[f"weights/{conv_name(3 * k + 1)}"][0][:, 0])
-            p["b1"] = jnp.asarray(npz[f"weights/{conv_bias(3 * k + 1)}"][0])
-            p["a2"] = jnp.asarray(npz[f"weights/{conv_name(3 * k + 2)}"][0][:, 0])
-            p["b2"] = jnp.asarray(npz[f"weights/{conv_bias(3 * k + 2)}"][0])
-            bias_name = ("BiasAdd/biases:0" if k == 0
-                         else f"BiasAdd_{k}/biases:0")
-            p["bias"] = jnp.asarray(npz[f"weights/{bias_name}"])
-            k += 1
+        p[key] = jnp.asarray(w)
 
     idx = npz["inputs/bias/indices"]
     vals = npz["inputs/bias/values"]
@@ -120,3 +142,60 @@ def test_support_pipeline_matches_reference(golden):
     shape = tuple(int(s) for s in golden["inputs/bias/dense_shape"])
     ref = sp.coo_matrix((vals, (idx[:, 0], idx[:, 1])), shape=shape).tocsr()
     assert abs(ours - ref.T).max() == 0
+
+
+def test_hidden_layer_matches_reference_tf1(golden):
+    """PER-LAYER golden (not just logits): layer 1's 8-head post-ELU concat
+    reproduces the reference's h_1 tensor (sp_gat.py inference hidden)."""
+    if "golden/layer1" not in golden.files:
+        pytest.skip("golden dump predates the per-layer capture")
+    model, params, x, adj = _build(golden)
+    cap = {}
+    model.apply(params, adj, x, [], training=False, capture=cap)
+    ours = cap["activations/0-gat"]
+    np.testing.assert_allclose(np.asarray(ours), golden["golden/layer1"],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_training_dynamics_match_reference_tf1(golden):
+    """Training-dynamics golden: from the reference's initialized weights,
+    N dropout-free TF1-Adam steps (base_gattn.py:20-26 — Adam eps 1e-8 on
+    loss + L2) reproduce the reference's per-step total-loss sequence and
+    final weights."""
+    if "golden/step_losses" not in golden.files:
+        pytest.skip("golden dump predates the dynamics capture")
+    import optax
+
+    from h2gcn_tpu.models._runtime import _keras_adam
+
+    model, params, x, adj = _build(golden)
+    y_train = jnp.asarray(golden["tensors/y_train"])
+    train_mask = jnp.asarray(golden["tensors/train_mask"])
+    # TF1 AdamOptimizer folds the bias corrections into the step size
+    # exactly like keras; only the default epsilon differs (1e-8 vs 1e-7)
+    tx = _keras_adam(float(golden["meta/lr"]), eps=1e-8)
+    opt_state = tx.init(params)
+
+    def loss_fn(p):
+        logits = model.apply(p, adj, x, [], training=False)
+        return model.loss(p, logits, y_train, train_mask)
+
+    @jax.jit
+    def step(p, s):
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, s = tx.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    losses = []
+    for _ in range(len(golden["golden/step_losses"])):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    np.testing.assert_allclose(losses, golden["golden/step_losses"],
+                               rtol=1e-4, atol=1e-5)
+
+    for (li, hi, key), name, kind in _weight_map(params):
+        ref = _ref_weight(golden, "weights_after", name, kind)
+        np.testing.assert_allclose(
+            np.asarray(params["layers"][li][hi][key]), ref,
+            rtol=1e-3, atol=2e-5,
+            err_msg=f"post-training weight {name} diverges")

@@ -81,3 +81,61 @@ def test_loss_and_accuracy_match_reference_torch(case):
                           jnp.asarray(npz["tensors/test_mask"]))
     np.testing.assert_allclose(np.asarray(acc), npz["golden/test_acc"],
                                rtol=0, atol=1e-6)
+
+
+@pytest.mark.parametrize("case", sorted(CASES))
+def test_hidden_layer_matches_reference_torch(case):
+    """PER-LAYER golden: encoder-1's post-ReLU embeddings reproduce the
+    reference's enc1 output (encoders.py:31-51, full-neighbor mean)."""
+    npz, model, params, x, ell = _build(case)
+    if "golden/layer1" not in npz.files:
+        pytest.skip("golden dump predates the per-layer capture")
+    cap = {}
+    model.apply(params, ell, x, [], training=False, capture=cap)
+    ours = cap["activations/0-enc1"]
+    np.testing.assert_allclose(np.asarray(ours), npz["golden/layer1"],
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("case", sorted(CASES))
+def test_training_dynamics_match_reference_torch(case):
+    """Training-dynamics golden: from the reference's xavier-init weights,
+    N full-train-batch SGD steps (model.py:142-152, lr 0.7) reproduce the
+    reference's per-step CE-loss sequence and final weights."""
+    npz, model, params, x, ell = _build(case)
+    if "golden/step_losses" not in npz.files:
+        pytest.skip("golden dump predates the dynamics capture")
+    import jax
+    import optax
+
+    labels = npz["tensors/labels"]
+    onehot = jnp.asarray(
+        np.eye(int(labels.max()) + 1, dtype=np.float32)[labels])
+    train_mask = jnp.asarray(npz["tensors/train_mask"])
+    tx = optax.sgd(float(npz["meta/lr"]))
+    opt_state = tx.init(params)
+
+    def loss_fn(p):
+        logits = model.apply(p, ell, x, [], training=False)
+        # the reference loss is plain CrossEntropyLoss over the batch —
+        # no L2 (model.py:96-99)
+        return masked_softmax_cross_entropy(logits, onehot, train_mask)
+
+    @jax.jit
+    def step(p, s):
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, s = tx.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    losses = []
+    for _ in range(len(npz["golden/step_losses"])):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    np.testing.assert_allclose(losses, npz["golden/step_losses"],
+                               rtol=1e-4, atol=1e-5)
+    for ours_key, ref_key in (("W1", "enc1"), ("W2", "enc2"),
+                              ("Wout", "scorer")):
+        np.testing.assert_allclose(
+            np.asarray(params[ours_key]), npz[f"weights_after/{ref_key}"].T,
+            rtol=1e-3, atol=2e-5,
+            err_msg=f"post-training weight {ref_key} diverges")

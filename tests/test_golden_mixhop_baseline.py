@@ -146,3 +146,54 @@ def test_mixhop_partition_matches_reference_reader(golden):
                                   np.sort(golden["tensors/test_idx"]))
     assert not (ds.train_mask & ds.val_mask).any()
     assert not (ds.val_mask & ds.test_mask).any()
+
+
+def test_training_dynamics_match_reference_tf1(golden):
+    """Training-dynamics golden: from the reference's initialized weights,
+    N deterministic SGD steps (mixhop_trainer.py:285-289,
+    GradientDescentOptimizer at --learn_rate, dropouts off, batch_norm on
+    moving stats) reproduce the per-step total-loss sequence — pinning the
+    gradient of label CE + keras-L2 + the psum q-penalty — and the final
+    weights."""
+    if "golden/step_losses" not in golden.files:
+        pytest.skip("golden dump predates the dynamics capture")
+    import optax
+
+    model, params, x, support = _build(golden)
+    n = x.shape[0]
+    ally = jnp.asarray(golden["tensors/ally"])
+    train_mask = np.zeros(n, bool)
+    train_mask[golden["tensors/train_idx"]] = True
+    train_mask = jnp.asarray(train_mask)
+    tx = optax.sgd(float(golden["meta/lr"]))
+    opt_state = tx.init(params)
+
+    def loss_fn(p):
+        logits = model.apply(p, support, x, [support], training=False)
+        return (masked_softmax_cross_entropy(logits, ally, train_mask)
+                + model.l2_loss(p))
+
+    @jax.jit
+    def step(p, s):
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, s = tx.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    losses = []
+    for _ in range(len(golden["golden/step_losses"])):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    np.testing.assert_allclose(losses, golden["golden/step_losses"],
+                               rtol=1e-4, atol=1e-5)
+
+    powers = [int(p) for p in golden["meta/powers"]]
+    for j in range(len(golden["meta/capacities"])):
+        for p in powers:
+            ref = golden[f"weights_after/l{j}_p{p}/dense/kernel:0"]
+            np.testing.assert_allclose(
+                np.asarray(params["layers"][j][str(p)]), ref,
+                rtol=1e-3, atol=2e-5,
+                err_msg=f"post-training kernel l{j}_p{p} diverges")
+    np.testing.assert_allclose(
+        np.asarray(params["psum_q"]), golden["weights_after/psum_q:0"],
+        rtol=1e-3, atol=2e-5)

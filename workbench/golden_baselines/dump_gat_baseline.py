@@ -36,6 +36,11 @@ def main():
     ap.add_argument("--hid_units", nargs="*", type=int, default=[8])
     ap.add_argument("--n_heads", nargs="*", type=int, default=[8, 1])
     ap.add_argument("--l2_coef", type=float, default=5e-4)
+    ap.add_argument("--lr", type=float, default=0.005)
+    ap.add_argument("--dyn_steps", type=int, default=10,
+                    help="dropout-free Adam train steps to record "
+                         "(per-step loss + final weights) for the "
+                         "training-dynamics golden")
     ap.add_argument("--out", required=True)
     opts = ap.parse_args()
 
@@ -122,6 +127,19 @@ def main():
         l2_vars = tf1.trainable_variables()
         loss_l2 = tf1.add_n([tf1.nn.l2_loss(v) for v in l2_vars]) \
             * opts.l2_coef
+        # the reference train op (base_gattn.py:20-26): plain TF1 Adam on
+        # loss + L2, default epsilon 1e-8
+        train_op = tf1.train.AdamOptimizer(
+            learning_rate=opts.lr).minimize(loss + loss_l2)
+
+        # per-layer probe: the hidden layer is the ONE 8-way ConcatV2 (the
+        # 8 ELU head outputs concatenated, sp_gat.py h_1)
+        g = tf1.get_default_graph()
+        concats = [op for op in g.get_operations()
+                   if op.type == "ConcatV2"
+                   and len(op.inputs) == opts.n_heads[0] + 1]
+        assert len(concats) == 1, [op.name for op in concats]
+        layer1 = concats[0].outputs[0]
 
         sess = tf1.Session()
         sess.run(tf1.global_variables_initializer())
@@ -130,6 +148,7 @@ def main():
             "meta/hid_units": np.asarray(opts.hid_units),
             "meta/n_heads": np.asarray(opts.n_heads),
             "meta/l2_coef": opts.l2_coef,
+            "meta/lr": opts.lr,
         }
         for v in l2_vars:
             out[f"weights/{v.name}"] = sess.run(v)
@@ -138,16 +157,28 @@ def main():
                 bias_in: (bias_idx, bias_val, bias_shape),
                 lbl_in: y_train, msk_in: train_mask,
                 is_train: False, attn_drop: 0.0, ffd_drop: 0.0}
-        gold_logits, gold_loss, gold_l2 = sess.run(
-            [log_resh, loss, loss_l2], feed)
+        gold_logits, gold_loss, gold_l2, gold_layer1 = sess.run(
+            [log_resh, loss, loss_l2, layer1], feed)
         feed[lbl_in] = y_test
         feed[msk_in] = test_mask
         gold_test_acc = sess.run(accuracy, feed)
+
+        # --- training dynamics: dropout-free Adam steps -------------------
+        feed[lbl_in] = y_train
+        feed[msk_in] = train_mask
+        step_losses = []
+        for _ in range(opts.dyn_steps):
+            step_loss, _ = sess.run([loss + loss_l2, train_op], feed)
+            step_losses.append(step_loss)
+        out["golden/step_losses"] = np.asarray(step_losses)
+        for v in l2_vars:
+            out[f"weights_after/{v.name}"] = sess.run(v)
 
     out["predictions"] = gold_logits
     out["golden/train_loss"] = gold_loss
     out["golden/l2_loss"] = gold_l2
     out["golden/test_acc"] = gold_test_acc
+    out["golden/layer1"] = gold_layer1[0]  # [n, heads*hid] post-ELU concat
     out["inputs/features"] = features[0]
     out["inputs/bias/indices"] = bias_idx
     out["inputs/bias/values"] = bias_val

@@ -31,6 +31,11 @@ def main():
     ap.add_argument("--dataset_path", default=DEFAULT_DATA)
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--hid_units", type=int, default=128)
+    ap.add_argument("--lr", type=float, default=0.7,
+                    help="reference run_cora SGD lr (model.py:142)")
+    ap.add_argument("--dyn_steps", type=int, default=10,
+                    help="deterministic full-train-batch SGD steps to "
+                         "record for the training-dynamics golden")
     ap.add_argument("--out", required=True)
     opts = ap.parse_args()
 
@@ -91,6 +96,7 @@ def main():
     all_nodes = list(range(n))
     with torch.no_grad():
         logits = graphsage.forward(all_nodes).numpy()
+        layer1 = enc1(all_nodes).t().numpy()  # [n, hid] post-ReLU
         train_nodes = np.where(cora.train_mask)[0]
         loss = graphsage.loss(
             list(train_nodes),
@@ -101,12 +107,39 @@ def main():
 
     adj_csr = cora.sparse_adj.tocsr()
 
+    # record the INITIAL weights before the dynamics run mutates them
+    w_init = {
+        "weights/enc1": enc1.weight.detach().numpy().copy(),
+        "weights/enc2": enc2.weight.detach().numpy().copy(),
+        "weights/scorer": graphsage.weight.detach().numpy().copy(),
+    }
+
+    # --- training dynamics: the reference's SGD step (model.py:142-152)
+    # on the FULL train-node batch each step (deterministic — the real run
+    # samples 256-node batches; full batch removes the RNG coupling)
+    optimizer = torch.optim.SGD(
+        filter(lambda p: p.requires_grad, graphsage.parameters()),
+        lr=opts.lr)
+    batch = list(train_nodes)
+    batch_labels = torch.LongTensor(labels[train_nodes])
+    step_losses = []
+    for _ in range(opts.dyn_steps):
+        optimizer.zero_grad()
+        step_loss = graphsage.loss(batch, batch_labels)
+        step_loss.backward()
+        optimizer.step()
+        step_losses.append(step_loss.item())
+
     out = {
         "meta/model_class": opts.model_class,
         "meta/hid_units": opts.hid_units,
-        "weights/enc1": enc1.weight.detach().numpy(),
-        "weights/enc2": enc2.weight.detach().numpy(),
-        "weights/scorer": graphsage.weight.detach().numpy(),
+        "meta/lr": opts.lr,
+        **w_init,
+        "weights_after/enc1": enc1.weight.detach().numpy(),
+        "weights_after/enc2": enc2.weight.detach().numpy(),
+        "weights_after/scorer": graphsage.weight.detach().numpy(),
+        "golden/step_losses": np.asarray(step_losses),
+        "golden/layer1": layer1,
         "predictions": logits,
         "golden/train_loss": loss,
         "golden/test_acc": test_acc,

@@ -34,6 +34,13 @@ def main():
     ap.add_argument("--input_dropout", type=float, default=0.5)
     ap.add_argument("--layer_dropout", type=float, default=0.9)
     ap.add_argument("--seed", type=int, default=123)
+    ap.add_argument("--lr", type=float, default=0.5,
+                    help="reference default GradientDescentOptimizer lr "
+                         "(mixhop_trainer.py:75-77)")
+    ap.add_argument("--dyn_steps", type=int, default=10,
+                    help="inference-mode (deterministic: dropouts off, "
+                         "batch_norm on moving stats) SGD steps to record "
+                         "for the training-dynamics golden")
     ap.add_argument("--out", required=True)
     opts = ap.parse_args()
 
@@ -128,6 +135,10 @@ def main():
     label_loss = tf1.reduce_mean(tf1.nn.softmax_cross_entropy_with_logits_v2(
         labels=tf1.stop_gradient(y), logits=sliced_output))
     total_loss = tf1.losses.get_total_loss() + label_loss
+    # reference default optimizer (mixhop_trainer.py:75-77, 285-289):
+    # plain GradientDescentOptimizer at --learn_rate
+    train_op = tf1.train.GradientDescentOptimizer(opts.lr).minimize(
+        total_loss)
 
     sess = tf1.Session()
     sess.run(tf1.global_variables_initializer())
@@ -169,6 +180,21 @@ def main():
     out["golden/label_loss"] = gold_label_loss
     out["golden/total_loss"] = gold_total_loss
     out["golden/test_acc"] = test_acc
+    out["meta/lr"] = opts.lr
+
+    # --- training dynamics: deterministic (is_training False) SGD steps —
+    # pins the gradient of keras-L2 + psum q-penalty + label CE through
+    # the whole stack, and the plain-SGD update
+    feed_d = {is_training: False, ph_indices: train_idx,
+              y: dataset.ally[train_idx]}
+    dataset.populate_feed_dict(feed_d)
+    step_losses = []
+    for _ in range(opts.dyn_steps):
+        step_loss, _ = sess.run([total_loss, train_op], feed_d)
+        step_losses.append(step_loss)
+    out["golden/step_losses"] = np.asarray(step_losses)
+    for v in tf1.trainable_variables():
+        out[f"weights_after/{v.name}"] = sess.run(v)
 
     feed_a = {}
     dataset.populate_feed_dict(feed_a)
