@@ -52,12 +52,19 @@ class GATNetwork:
 
     def __init__(self, num_classes, *,
                  hid_units=(8,), n_heads=(8, 1), in_drop=0.6, attn_drop=0.6,
-                 residual=False, l2_coef=5e-4, fused_attention=False):
+                 residual=False, l2_coef=5e-4, fused_attention=False,
+                 fused_precision="highest"):
         self.num_classes = num_classes
-        # fused Pallas attention (sparse/pallas_attention.py): used when the
-        # adjacency carries a BSR payload and no per-coefficient state is
-        # needed (attention dropout off or eval, no coefficient capture)
+        # fused Pallas attention: used when the adjacency carries a BSR
+        # payload (sparse/pallas_attention.py, small graphs) or COO-chunk
+        # tables (sparse/pallas_attention_coo.py, the O(nnz) at-scale
+        # payload) and no per-coefficient state is needed (attention
+        # dropout off or eval, no coefficient capture)
         self.fused_attention = fused_attention
+        # "highest" = 6-pass f32 head contractions (parity); "default" =
+        # single-pass bf16 w/ f32 accumulation (~6x fewer MXU FLOPs,
+        # ~4e-3 relative error) — COO-chunk path only
+        self.fused_precision = fused_precision
         self.hid_units = list(hid_units)
         self.n_heads = list(n_heads)
         self.in_drop = in_drop
@@ -145,7 +152,6 @@ class GATNetwork:
                  residual=False):
         """All heads of one layer through the fused Pallas attention kernel."""
         from ..nn.ops import dropout as _dropout
-        from ..sparse.pallas_attention import gat_attention
 
         h_parts, f1_parts, f2_parts, xd_parts = [], [], [], []
         for hi, p in enumerate(heads):
@@ -162,14 +168,29 @@ class GATNetwork:
             h_parts.append(_dropout(hk, self.in_drop, key, 2,
                                     training=training))
         feat = h_parts[0].shape[1]
-        out = gat_attention(
-            adj.bsr,
-            jnp.stack(f1_parts, axis=1),
-            jnp.stack(f2_parts, axis=1),
-            jnp.concatenate(h_parts, axis=1),
-            num_heads=len(heads), feat=feat, n_out=x.shape[0],
-            interpret=(jax.default_backend() not in ("tpu", "gpu")),
-        )
+        interpret = jax.default_backend() not in ("tpu", "gpu")
+        if getattr(adj, "attn", None) is not None:
+            from ..sparse.pallas_attention_coo import gat_attention_coo
+
+            out = gat_attention_coo(
+                adj.attn,
+                jnp.stack(f1_parts, axis=1),
+                jnp.stack(f2_parts, axis=1),
+                jnp.concatenate(h_parts, axis=1),
+                num_heads=len(heads), feat=feat, n_out=x.shape[0],
+                interpret=interpret, precision=self.fused_precision,
+            )
+        else:
+            from ..sparse.pallas_attention import gat_attention
+
+            out = gat_attention(
+                adj.bsr,
+                jnp.stack(f1_parts, axis=1),
+                jnp.stack(f2_parts, axis=1),
+                jnp.concatenate(h_parts, axis=1),
+                num_heads=len(heads), feat=feat, n_out=x.shape[0],
+                interpret=interpret,
+            )
         outs = []
         for k, p in enumerate(heads):
             o = out[:, k * feat:(k + 1) * feat] + p["bias"]
@@ -193,33 +214,16 @@ class GATNetwork:
         # one thing it cannot express (coefficients never materialize)
         use_fused = (
             self.fused_attention
-            and getattr(adj, "bsr", None) is not None
+            and (getattr(adj, "bsr", None) is not None
+                 or getattr(adj, "attn", None) is not None)
             and capture is None
             and (not training or self.attn_drop == 0)
         )
-        if use_fused:
-            # f1/f2/h ride as whole-array VMEM operands in the fused kernel
-            # (pallas_attention.py) — pre-check the ~16MB/core budget and
-            # fall back to the segment composition instead of a cryptic
-            # scoped-VMEM compile error. Widths: f1/f2 pad heads to 128
-            # lanes; h pads H·F to a 128 multiple.
-            n_pad = adj.bsr.n_col_blocks * adj.bsr.block_size
-            max_hf = max(
-                max(h_u * k, 128) for h_u, k in
-                zip(self.hid_units + [self.num_classes], self.n_heads)
-            )
-            hf_pad = -(-max_hf // 128) * 128
-            vmem_bytes = n_pad * (128 + 128 + hf_pad) * 4
-            # empirical v5e boundary: n=10240 (15.7MB operands) compiles,
-            # the next step up does not — guard just above the known-good
-            if vmem_bytes > 16 * 1024 * 1024:
-                import warnings
-
-                warnings.warn(
-                    f"fused attention needs ~{vmem_bytes / 1e6:.0f}MB of "
-                    "VMEM-resident operands at this graph size — falling "
-                    "back to the segment composition")
-                use_fused = False
+        # NOTE (r3): the 16MB "VMEM operand budget" guard that used to live
+        # here was a misdiagnosis — both kernels stream their tiles through
+        # VMEM; the real scale limit was the BSR's dense-block payload,
+        # which build_gat_adjacency now avoids by routing large graphs to
+        # the O(nnz) COO-chunk payload (backend="attn") at construction.
         # attention coefficients for EVERY layer and head (the reference's
         # getAttnCoeff returns a per-attention-layer list, H2GCN.py:355-360)
         all_alphas = [] if capture is not None else None
@@ -325,6 +329,12 @@ def add_subparser_args(parser):
                             "(SDDMM+softmax+aggregate in one pass); "
                             "falls back to the segment path when attention "
                             "dropout is active or coefficients are captured")
+    group.add_argument("--fused_precision", default="highest",
+                       choices=["highest", "default"],
+                       help="Head-contraction precision of the COO-chunk "
+                            "fused kernel: highest = 6-pass f32 (parity), "
+                            "default = 1-pass bf16 w/ f32 accumulation "
+                            "(~6x fewer MXU FLOPs, ~4e-3 rel err)")
     group.add_argument("--optimizer", type=str, default="adam")
     group.add_argument("--no_feature_normalize", action="store_true")
     group.add_argument("--best_val_criteria", choices=["val_acc", "val_loss"],
@@ -368,9 +378,41 @@ def build_attention_support(dataset, nhood):
     return transforms.add_eye(sum(hops[1:]))
 
 
-def argparse_callback(args):
+# dense-block BSR payload budget: past this the fused attention rides the
+# O(nnz) COO-chunk tables instead (benched 18-22x the segment composition
+# at 90K nodes; the BSR payload there would be ~32GB)
+_BSR_PAYLOAD_BUDGET_BYTES = 256 * 1024 * 1024
+
+
+def build_gat_adjacency(support, fused_attention: bool,
+                        block_size: int = 256):
+    """Fused-path payload selection at construction time.
+
+    Small graphs keep the dense-block BSR (fastest measured kernel at 10K:
+    13.3 ms vs 40.1 at 128-blocks); graphs whose BSR payload would exceed
+    the budget carry COO-chunk tables (backend="attn") — O(nnz) instead of
+    O(tiles·B²), which reaches 56GB at 120K nodes. Both retain the full
+    COO arrays so the segment path runs off the same tensor."""
+    import scipy.sparse as _sp
+
     from ..sparse import SparseMatrix
 
+    if not fused_attention:
+        return SparseMatrix.from_scipy(support, backend="segment",
+                                       block_size=128)
+    coo = _sp.coo_matrix(support)
+    ncb = -(-support.shape[1] // block_size)
+    nb = np.unique((coo.row // block_size).astype(np.int64) * ncb
+                   + coo.col // block_size).size
+    payload = nb * block_size * block_size * 4
+    if payload > _BSR_PAYLOAD_BUDGET_BYTES:
+        return SparseMatrix.from_scipy(support, backend="attn",
+                                       attn_tile=block_size)
+    return SparseMatrix.from_scipy(support, backend="bsr",
+                                   block_size=block_size)
+
+
+def argparse_callback(args):
     dataset = args.objects["dataset"]
     if not args.no_feature_normalize:
         dataset.row_normalize_features()
@@ -379,16 +421,7 @@ def argparse_callback(args):
     # attention support replaces the raw adjacency in the tensor dict so it
     # flows into the jitted step as an argument
     support = build_attention_support(dataset, args.nhood)
-    # bsr backend also retains the full COO arrays, so both the segment path
-    # and the fused Pallas kernel can run off the same tensor.
-    # block_size=256: the attention kernel's grid cost is per-block and the
-    # per-block VPU work stays lane-parallel, so fewer/bigger blocks win —
-    # measured 3.0x over 128 on a 10K-node graph (13.3 vs 40.1 ms fwd,
-    # chained-dispatch timing); 512 exceeds the scoped-VMEM limit.
-    tensors.adj = SparseMatrix.from_scipy(
-        support, backend="bsr" if args.fused_attention else "segment",
-        block_size=256 if args.fused_attention else 128,
-    )
+    tensors.adj = build_gat_adjacency(support, args.fused_attention)
     args.objects["tensors"] = vars(tensors)
 
     model = GATNetwork(
@@ -397,6 +430,7 @@ def argparse_callback(args):
         in_drop=args.in_drop, attn_drop=args.attn_drop,
         residual=args.residual, l2_coef=args.l2_coef,
         fused_attention=args.fused_attention,
+        fused_precision=args.fused_precision,
     )
     controller = _StatsPatience(args, GATPatienceController(args.patience))
     _runtime.initialize_model(

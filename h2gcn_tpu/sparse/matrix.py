@@ -128,6 +128,9 @@ class SparseMatrix:
     t_perm: Optional[jax.Array] = None
     coot: Optional[object] = None     # CooTile payload (pallas_cootile) or None
     coot_t: Optional[object] = None   # CooTile of the transpose or None
+    # AttnCoo payload (pallas_attention_coo) or None — the scale-capable
+    # fused-attention chunk tables (backend="attn")
+    attn: Optional[object] = None
     backend: str = struct.field(pytree_node=False, default="segment")
     symmetric: bool = struct.field(pytree_node=False, default=False)
     # "highest" = full f32 on the MXU (6 bf16 passes, activation-parity
@@ -193,13 +196,17 @@ class SparseMatrix:
         build_transpose: Optional[bool] = None,
         precision: str = "highest",
         payload_dtype: str = "float32",
+        attn_tile: int = 256,
     ) -> "SparseMatrix":
         """Build from any scipy sparse matrix (host-side).
 
         ``backend='auto'`` caches a dense copy for small matrices and a BSR
-        payload for large ones; ``segment`` keeps only the COO arrays.
-        ``payload_dtype='bfloat16'`` stores the dense/BSR payload in bf16
-        (throughput mode — f32 accumulation, ~1e-3 relative error).
+        payload for large ones; ``segment`` keeps only the COO arrays;
+        ``attn`` keeps the COO arrays plus the O(nnz) fused-attention chunk
+        tables (pallas_attention_coo) — the GAT payload for graphs whose
+        dense-block BSR would explode. ``payload_dtype='bfloat16'`` stores
+        the dense/BSR payload in bf16 (throughput mode — f32 accumulation,
+        ~1e-3 relative error).
         """
         import scipy.sparse as sp
 
@@ -257,6 +264,12 @@ class SparseMatrix:
             if build_transpose:
                 coot_t = build_cootile(sp.csr_matrix(csr.T), dtype=geo_dtype)
 
+        attn = None
+        if backend == "attn":
+            from .pallas_attention_coo import build_attn_coo
+
+            attn = build_attn_coo(csr, tile=attn_tile)
+
         t_perm = None
         if not symmetric:
             t_perm = jnp.asarray(
@@ -271,6 +284,7 @@ class SparseMatrix:
             bsr_t=bsr_t,
             coot=coot,
             coot_t=coot_t,
+            attn=attn,
             t_perm=t_perm,
             shape=(n, m),
             nnz=nnz,
