@@ -77,7 +77,17 @@ def _auto_backend(n, m, nnz, coo, block_size, platform=None):
         + coo.col // block_size
     ).size
     payload_bytes = nb * block_size * block_size * 4
-    return "bsr" if payload_bytes <= 4e9 else "cootile"
+    if payload_bytes <= 4e9:
+        return "bsr"
+    # cootile vs gscatter: cootile reads one [T, F] x stripe per occupied
+    # 512-tile, so once occupancy drops below ~32 nnz/tile the gather-
+    # scatter backend's 256B-per-edge stream wins (measured crossover on
+    # the 1M-node Â₂: 9 nnz/tile, gscatter >=2x — docs/bench_large_1m.json)
+    t = 512
+    ntc = -(-m // t)
+    occ512 = np.unique(
+        (coo.row // t).astype(np.int64) * ntc + coo.col // t).size
+    return "cootile" if nnz / max(occ512, 1) >= 32 else "gscatter"
 
 
 @struct.dataclass
@@ -131,6 +141,10 @@ class SparseMatrix:
     # AttnCoo payload (pallas_attention_coo) or None — the scale-capable
     # fused-attention chunk tables (backend="attn")
     attn: Optional[object] = None
+    # GScatter payloads (pallas_gscatter) — the ultra-sparse SpMM backend
+    # (XLA gather + one-hot MXU scatter; backend="gscatter")
+    gsc: Optional[object] = None
+    gsc_t: Optional[object] = None
     backend: str = struct.field(pytree_node=False, default="segment")
     symmetric: bool = struct.field(pytree_node=False, default=False)
     # "highest" = full f32 on the MXU (6 bf16 passes, activation-parity
@@ -177,6 +191,8 @@ class SparseMatrix:
             bsr_t=self.bsr,
             coot=self.coot_t,
             coot_t=self.coot,
+            gsc=self.gsc_t,
+            gsc_t=self.gsc,
             shape=(self.shape[1], self.shape[0]),
             nnz=self.nnz,
             backend=self.backend,
@@ -269,6 +285,16 @@ class SparseMatrix:
             from .pallas_attention_coo import build_attn_coo
 
             attn = build_attn_coo(csr, tile=attn_tile)
+        gsc = None
+        gsc_t = None
+        if backend == "gscatter":
+            from .pallas_gscatter import build_gscatter
+
+            gsc = build_gscatter(csr)
+            if build_transpose is None:
+                build_transpose = not symmetric
+            if build_transpose:
+                gsc_t = build_gscatter(sp.csr_matrix(csr.T))
 
         t_perm = None
         if not symmetric:
@@ -285,6 +311,8 @@ class SparseMatrix:
             coot=coot,
             coot_t=coot_t,
             attn=attn,
+            gsc=gsc,
+            gsc_t=gsc_t,
             t_perm=t_perm,
             shape=(n, m),
             nnz=nnz,
@@ -397,6 +425,12 @@ def _spmm_impl(sm: SparseMatrix, x: jax.Array) -> jax.Array:
         from .pallas_cootile import cootile_spmm
 
         return cootile_spmm(sm.coot, x, precision=sm.precision)
+    if sm.backend == "gscatter" and sm.gsc is not None:
+        if jax.default_backend() != "tpu":
+            return _spmm_segment(sm, x)
+        from .pallas_gscatter import gscatter_spmm
+
+        return gscatter_spmm(sm.gsc, x, precision=sm.precision)
     return _spmm_segment(sm, x)
 
 
@@ -420,6 +454,8 @@ def _spmm_bwd(sm, g):
         # No transpose BSR payload was built; fall back to the segment path.
         smT = smT.replace(backend="segment")
     if smT.backend == "cootile" and smT.coot is None:
+        smT = smT.replace(backend="segment")
+    if smT.backend == "gscatter" and smT.gsc is None:
         smT = smT.replace(backend="segment")
     dx = _spmm_impl(smT, g)
     zero_sm = jax.tree_util.tree_map(jnp.zeros_like, sm)

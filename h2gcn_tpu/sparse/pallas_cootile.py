@@ -104,11 +104,67 @@ def model_chunk_count(csr, tile: int, e_b: int, kb: int = _K) -> int:
     return _padded_chunk_count(uniq // ncb, counts, n_rb, e_b, kb)
 
 
+_GEO_CACHE_PATH = None  # resolved lazily; None disables (no writable dir)
+
+
+def _geo_cache_file():
+    global _GEO_CACHE_PATH
+    if _GEO_CACHE_PATH is None:
+        import os
+        from pathlib import Path
+
+        base = Path(os.environ.get("H2GCN_TPU_CACHE",
+                                   Path.home() / ".cache" / "h2gcn_tpu"))
+        try:
+            base.mkdir(parents=True, exist_ok=True)
+            _GEO_CACHE_PATH = base / "auto_geometry.json"
+        except OSError:
+            _GEO_CACHE_PATH = False
+    return _GEO_CACHE_PATH or None
+
+
+def _geo_cache_load(key):
+    path = _geo_cache_file()
+    if path is None or not path.exists():
+        return None
+    import json
+
+    try:
+        hit = json.loads(path.read_text()).get(key)
+    except (OSError, ValueError):
+        return None
+    return tuple(hit) if hit else None
+
+
+def _geo_cache_store(key, val):
+    path = _geo_cache_file()
+    if path is None:
+        return
+    import json
+
+    try:
+        data = json.loads(path.read_text()) if path.exists() else {}
+    except (OSError, ValueError):
+        data = {}
+    data[key] = list(val)
+    try:
+        path.write_text(json.dumps(data, indent=1, sort_keys=True))
+    except OSError:
+        pass
+
+
 def auto_geometry(csr, f: int = 64, dtype: str = "bf16",
                   tile_cands=(256, 512, 1024, 2048),
                   e_b_cands=(128, 256, 512),
                   kb_cands=(8, 16, 32)) -> Tuple[int, int, int]:
     """Pick ``(tile, e_b, kb)`` minimizing a two-roof cost model.
+
+    Results persist on disk keyed by the matrix signature
+    ``(n, m, nnz, f, dtype, cands)`` (``~/.cache/h2gcn_tpu``, override via
+    ``H2GCN_TPU_CACHE``) — at the 1M/34M-nnz scale the per-candidate tile
+    histograms cost minutes through this container's numpy, and the pick
+    is deterministic per matrix shape, so it runs once per (graph, mode)
+    rather than once per process.
 
     Per chunk the kernel spends ``4·e_b·tile·f_pad`` MXU FLOPs (two one-hot
     contractions) and the HBM side pays one ``tile×f_pad`` x-tile read per
@@ -149,6 +205,11 @@ def auto_geometry(csr, f: int = 64, dtype: str = "bf16",
 
     coo = sp.coo_matrix(csr)
     n, m = coo.shape
+    key = (f"{n}x{m}/nnz{coo.nnz}/f{f}/{dtype}/t{tile_cands}/"
+           f"e{e_b_cands}/k{kb_cands}")
+    hit = _geo_cache_load(key)
+    if hit is not None:
+        return hit
     f_pad = max(F_TILE, -(-f // F_TILE) * F_TILE)
     xbytes = 2 if dtype == "bf16" else 4
     mxu = _MXU_RATE[dtype]
@@ -181,6 +242,7 @@ def auto_geometry(csr, f: int = 64, dtype: str = "bf16",
                 cost = compute + (1.0 - _X_HIDE_FRAC) * x_dma + hbm
                 if cost < best_cost:
                     best, best_cost = (t, e_b, kb), cost
+    _geo_cache_store(key, best)
     return best
 
 

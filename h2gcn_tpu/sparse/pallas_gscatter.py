@@ -1,0 +1,241 @@
+"""Pallas TPU kernel: gather-scatter SpMM for the ultra-sparse regime.
+
+At extreme sparsity (the 1M-node Â₂: ~34M nnz over a 10¹²-cell tile space,
+~9 edges per occupied 512-tile) the COO-tile kernel is x-DMA-bound — it
+reads one ``[T, F]`` x stripe per occupied tile to serve a handful of
+edges, so per-edge traffic is ~2.5KB where ~256B is needed. This backend
+splits the work at that boundary:
+
+  * **gather** (XLA): ``gathered = x[cols] · vals`` — the native TPU gather
+    reads exactly the needed rows, edge-major, and its output streams
+    CONTIGUOUSLY into the kernel (256B/edge in f32, 128B in bf16);
+  * **scatter** (Pallas, MXU): per chunk of ``e_b`` row-sorted edge slots,
+    one one-hot contraction ``contrib = 1[r = rows_e]ᵀ · gathered_chunk``
+    accumulates into the destination tile row — the cootile trick with the
+    column one-hot (and its x-tile DMA) deleted entirely.
+
+Chunks are fixed-size runs of CSR-ordered edges cut at destination-tile
+boundaries, so the grid walks output tiles contiguously and chunk padding
+exists only at tile-row boundaries (<0.5% at 34M edges — vs ~90% padding
+for per-(row,col)-tile chunks at this sparsity). Replaces the regime where
+``h2gcn/models/_layers.py:63-81``'s host spgemm could never go; routed by
+``backend="auto"``'s occupancy economics (matrix.py).
+
+Exact mode: the one-hot operand is exactly representable in bf16, so only
+``gathered`` splits — 3 bf16 MXU passes reproduce f32 (shared
+:func:`pallas_cootile._onehot_dot_exact` machinery, inlined per chunk).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_cootile import F_TILE
+
+_KB = 8          # chunks per grid step (all share one output tile row)
+# per-segment step cap: bounds BOTH the scalar-prefetch SMEM (4B/step) and
+# the gathered-edge buffer one segment materializes in HBM
+# (steps · kb·e_b·f_pad·4B ≈ 2GB at the 4096 default with f_pad=128) —
+# at 34M edges in f32 an unsegmented gather would need 17GB, over HBM
+_MAX_STEPS = 4096
+
+
+@struct.dataclass
+class GScatterSegment:
+    ctr: jax.Array    # [nsteps] int32 output tile row (relative to rb_lo)
+    rows: jax.Array   # [nchunks, e_b] int32 tile-local dest rows
+    cols: jax.Array   # [nchunks * e_b] int32 global source cols (gather)
+    vals: jax.Array   # [nchunks * e_b] float32 (0 marks padding slots)
+    rb_lo: int = struct.field(pytree_node=False)
+    rb_hi: int = struct.field(pytree_node=False)
+
+
+@struct.dataclass
+class GScatter:
+    segments: Tuple[GScatterSegment, ...]
+    tile: int = struct.field(pytree_node=False, default=512)
+    e_b: int = struct.field(pytree_node=False, default=128)
+    kb: int = struct.field(pytree_node=False, default=_KB)
+    n_rows: int = struct.field(pytree_node=False, default=0)
+    n_cols: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def num_chunks(self) -> int:
+        return sum(int(s.rows.shape[0]) for s in self.segments)
+
+
+def build_gscatter(csr, tile: int = 512, e_b: int = 128,
+                   kb: int = _KB) -> GScatter:
+    """Host prep: CSR-ordered edges chunked per destination tile row.
+
+    Every tile row's chunk list is padded to a ``kb`` multiple (a grid step
+    processes kb chunks sharing one output tile) and empty tile rows get a
+    full filler block so their output initializes. Padding slots carry
+    ``vals = 0`` and ``cols = 0``.
+    """
+    import scipy.sparse as sp
+
+    csr = sp.csr_matrix(csr)
+    n, m = csr.shape
+    n_rb = -(-n // tile)
+    coo = csr.tocoo()
+    # CSR order: already sorted by row; group key = tile row
+    order = np.argsort(coo.row // tile, kind="stable")
+    r = coo.row[order].astype(np.int64)
+    c = coo.col[order].astype(np.int64)
+    v = coo.data[order].astype(np.float32)
+    grp = r // tile
+
+    counts = np.bincount(grp, minlength=n_rb)           # edges per tile row
+    chunks_per_row = np.maximum(-(-counts // e_b), 1)   # >=1 (output init)
+    chunks_per_row = -(-chunks_per_row // kb) * kb      # kb alignment
+    chunk_offset = np.concatenate([[0], np.cumsum(chunks_per_row)])
+    total = int(chunk_offset[-1])
+
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    pos = np.arange(len(r)) - starts[grp]               # pos within group
+    slot = (chunk_offset[grp] * e_b + pos).astype(np.int64)
+
+    rows = np.zeros(total * e_b, np.int32)
+    cols = np.zeros(total * e_b, np.int32)
+    vals = np.zeros(total * e_b, np.float32)
+    rows[slot] = (r % tile).astype(np.int32)
+    cols[slot] = c.astype(np.int32)
+    vals[slot] = v
+    ctr_chunk = np.repeat(np.arange(n_rb, dtype=np.int32), chunks_per_row)
+    rows = rows.reshape(total, e_b)
+
+    # segments: ≤ _MAX_STEPS grid steps each, cut at tile-row boundaries
+    # (per-row kb alignment keeps every cut kb-block aligned). All segments
+    # are PADDED to one uniform step count with filler steps on their last
+    # tile row (vals 0 → o_ref += 0), so every segment reuses ONE compiled
+    # pallas_call instead of one per distinct length.
+    ctr_step = ctr_chunk[::kb]
+    nsteps = len(ctr_step)
+    row_starts = np.flatnonzero(np.diff(ctr_step, prepend=-1))
+    bounds = []
+    lo = 0
+    while lo < nsteps:
+        hi = min(lo + _MAX_STEPS, nsteps)
+        if hi < nsteps:
+            cut = row_starts[(row_starts > lo) & (row_starts <= hi)]
+            hi = int(cut[-1]) if len(cut) else int(
+                row_starts[row_starts > lo][0])
+        bounds.append((lo, hi))
+        lo = hi
+    uniform = max(hi - lo for lo, hi in bounds)
+    segments = []
+    for lo, hi in bounds:
+        rb_lo, rb_hi = int(ctr_step[lo]), int(ctr_step[hi - 1]) + 1
+        cl, ch = lo * kb, hi * kb
+        ctr_s = ctr_step[lo:hi] - rb_lo
+        rows_s = rows[cl:ch]
+        cols_s = cols[cl * e_b:ch * e_b]
+        vals_s = vals[cl * e_b:ch * e_b]
+        pad = uniform - (hi - lo)
+        if pad:
+            ctr_s = np.concatenate(
+                [ctr_s, np.full(pad, ctr_s[-1], np.int32)])
+            rows_s = np.concatenate(
+                [rows_s, np.zeros((pad * kb, e_b), np.int32)])
+            cols_s = np.concatenate(
+                [cols_s, np.zeros(pad * kb * e_b, np.int32)])
+            vals_s = np.concatenate(
+                [vals_s, np.zeros(pad * kb * e_b, np.float32)])
+        segments.append(GScatterSegment(
+            ctr=jnp.asarray(ctr_s), rows=jnp.asarray(rows_s),
+            cols=jnp.asarray(cols_s), vals=jnp.asarray(vals_s),
+            rb_lo=rb_lo, rb_hi=rb_hi,
+        ))
+    return GScatter(segments=tuple(segments), tile=tile, e_b=e_b, kb=kb,
+                    n_rows=n, n_cols=m)
+
+
+def _make_kernel(tile, e_b, kb, exact):
+    def kernel(ctr_ref, rows_ref, g_ref, o_ref):
+        i = pl.program_id(1)
+        prev = ctr_ref[jnp.maximum(i - 1, 0)]
+        first = jnp.logical_or(i == 0, ctr_ref[i] != prev)
+
+        iota_te = jax.lax.broadcasted_iota(jnp.int32, (tile, e_b), 0)
+        acc = None
+        for k in range(kb):  # unrolled
+            row_oh = (iota_te == rows_ref[k][None, :]).astype(jnp.bfloat16)
+            gk = g_ref[k * e_b:(k + 1) * e_b, :]
+            if exact:
+                # 3 bf16 passes reproduce f32: the one-hot operand is
+                # exact in bf16 (pallas_cootile._onehot_dot_exact)
+                part = None
+                rem = gk.astype(jnp.float32)
+                for _ in range(3):
+                    g_bf = rem.astype(jnp.bfloat16)
+                    rem = rem - g_bf.astype(jnp.float32)
+                    term = jnp.dot(row_oh, g_bf,
+                                   preferred_element_type=jnp.float32)
+                    part = term if part is None else part + term
+            else:
+                part = jnp.dot(row_oh, gk.astype(jnp.bfloat16),
+                               preferred_element_type=jnp.float32)
+            acc = part if acc is None else acc + part
+
+        @pl.when(first)
+        def _():
+            o_ref[...] = acc
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            o_ref[...] = o_ref[...] + acc
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _seg_fn(nsteps, rb_span, tile, e_b, kb, f_pad, exact, interpret):
+    grid = (f_pad // F_TILE, nsteps)
+    return pl.pallas_call(
+        _make_kernel(tile, e_b, kb, exact),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((kb, e_b), lambda j, i, tr: (i, 0)),
+                pl.BlockSpec((kb * e_b, F_TILE), lambda j, i, tr: (i, j)),
+            ],
+            out_specs=pl.BlockSpec((tile, F_TILE),
+                                   lambda j, i, tr: (tr[i], j)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((rb_span * tile, f_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )
+
+
+def gscatter_spmm(gs: GScatter, x: jax.Array, *, precision: str = "highest",
+                  interpret: bool = False) -> jax.Array:
+    """``A @ x`` for a :class:`GScatter`. ``x``: [m, F] → [n, F] float32."""
+    m, f = x.shape
+    f_pad = max(F_TILE, -(-f // F_TILE) * F_TILE)
+    exact = precision == "highest"
+    xp = x.astype(jnp.float32)
+    if f_pad != f:
+        xp = jnp.zeros((m, f_pad), jnp.float32).at[:, :f].set(xp)
+    parts = []
+    for seg in gs.segments:
+        gathered = xp[seg.cols] * seg.vals[:, None]
+        if not exact:
+            # halve the kernel-side stream; accumulation stays f32
+            gathered = gathered.astype(jnp.bfloat16)
+        fn = _seg_fn(int(seg.ctr.shape[0]), seg.rb_hi - seg.rb_lo, gs.tile,
+                     gs.e_b, gs.kb, f_pad, exact, interpret)
+        parts.append(fn(seg.ctr, seg.rows, gathered))
+    out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    return out[: gs.n_rows, :f]

@@ -1,0 +1,94 @@
+"""Gather-scatter SpMM backend (sparse/pallas_gscatter.py): the
+ultra-sparse regime kernel (XLA edge-major gather + one-hot MXU scatter).
+Kernel correctness runs in interpret mode; routing/plumbing through
+SparseMatrix is host-side."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from h2gcn_tpu.sparse import SparseMatrix
+from h2gcn_tpu.sparse.pallas_gscatter import build_gscatter, gscatter_spmm
+
+
+def _rand(n, nnz, seed=0, square=True, weighted=True):
+    rng = np.random.default_rng(seed)
+    r = rng.integers(0, n, nnz)
+    c = rng.integers(0, n, nnz)
+    v = (rng.random(nnz).astype(np.float32) + 0.5 if weighted
+         else np.ones(nnz, np.float32))
+    a = sp.csr_matrix((v, (r, c)), shape=(n, n))
+    a.sum_duplicates()
+    return a
+
+
+@pytest.mark.parametrize("prec,tol", [("highest", 1e-5), ("default", 2e-2)])
+def test_gscatter_matches_scipy(prec, tol):
+    a = _rand(700, 3000, seed=1)
+    gs = build_gscatter(a, tile=128, e_b=32, kb=4)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((700, 48)).astype(np.float32)
+    out = np.asarray(gscatter_spmm(gs, jnp.asarray(x), precision=prec,
+                                   interpret=True))
+    ref = a @ x
+    err = np.abs(out - ref).max() / np.abs(ref).max()
+    assert err < tol, err
+
+
+def test_gscatter_segments_and_empty_rows():
+    """Multi-segment splitting (tiny step cap) + rows with no edges."""
+    import h2gcn_tpu.sparse.pallas_gscatter as gsm
+
+    a = _rand(600, 900, seed=2)
+    a = a.tolil()
+    a[100:140, :] = 0  # a fully empty stretch of rows
+    a = a.tocsr()
+    a.eliminate_zeros()
+    old = gsm._MAX_STEPS
+    gsm._MAX_STEPS = 2
+    try:
+        gs = build_gscatter(a, tile=64, e_b=32, kb=2)
+    finally:
+        gsm._MAX_STEPS = old
+    assert len(gs.segments) > 1
+    # uniform step counts: one compiled kernel serves every segment
+    assert len({int(s.ctr.shape[0]) for s in gs.segments}) == 1
+    x = np.random.default_rng(0).standard_normal((600, 32)).astype(np.float32)
+    out = np.asarray(gscatter_spmm(gs, jnp.asarray(x), interpret=True))
+    np.testing.assert_allclose(out, a @ x, rtol=1e-4, atol=1e-5)
+
+
+def test_gscatter_sparsematrix_plumbing():
+    """backend='gscatter' builds payloads (incl. the transpose for the
+    VJP) and the CPU dispatch falls back to the segment path with
+    identical results."""
+    a = _rand(500, 1500, seed=3)
+    m = SparseMatrix.from_scipy(a, backend="gscatter")
+    assert m.gsc is not None
+    assert m.symmetric or m.gsc_t is not None
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((500, 16)), jnp.float32)
+    from h2gcn_tpu.sparse.matrix import spmm
+
+    out = spmm(m, x)  # CPU → segment fallback
+    np.testing.assert_allclose(np.asarray(out), a @ np.asarray(x),
+                               rtol=1e-4, atol=1e-5)
+    # VJP transpose view carries the transpose payload
+    t = m.transpose_view()
+    assert t.gsc is not None or m.symmetric
+
+
+def test_auto_backend_picks_gscatter_when_ultra_sparse():
+    from h2gcn_tpu.sparse.matrix import _auto_backend
+
+    n = 2_000_000
+    nnz = 4_000_000
+    rng = np.random.default_rng(0)
+    coo = sp.coo_matrix(
+        (np.ones(nnz, np.float32),
+         (rng.integers(0, n, nnz), rng.integers(0, n, nnz))), shape=(n, n))
+    # ~1 nnz per occupied 512-tile -> gscatter
+    assert _auto_backend(n, n, nnz, coo, 128, platform="tpu") == "gscatter"

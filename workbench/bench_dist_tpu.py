@@ -1,0 +1,108 @@
+"""Real-TPU evidence for the distributed program (VERDICT r2 item 8).
+
+Two artifacts, no multi-chip hardware required:
+
+1. **Native-TPU compile+run of the sharded train step**: the degenerate
+   1-device mesh runs the FULL shard_map H2GCN-2 train step on the v5e for
+   every halo mode — proving the halo and halo-cootile paths (including
+   the in-shard Pallas kernels) compile natively on TPU rather than only
+   under CPU interpret mode.
+
+2. **Analytic comm-volume-vs-mesh-size table** from the halo shard tables:
+   for each mesh size D, shard_matrix_halo's measured per-pair halo sizes
+   give the exact all_to_all bytes one layer exchanges, against the
+   all_gather and ring alternatives' volumes — the capacity-planning
+   numbers a real pod deployment would see over ICI.
+
+Emits docs/dist_tpu_evidence.json.
+
+Usage: python workbench/bench_dist_tpu.py
+"""
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+import jax
+import jax.numpy as jnp
+
+F_FEAT = 64  # feature width the volume table assumes
+
+
+def native_compile_evidence():
+    from h2gcn_tpu.parallel import dryrun
+
+    assert jax.default_backend() == "tpu", "run on the real chip"
+    out = {}
+    for mode in ("ring", "allgather", "halo", "halo-cootile"):
+        t0 = time.time()
+        res = dryrun.run(1, mode=mode)
+        out[mode] = {
+            "loss": round(res["loss"], 4),
+            "acc": round(res["acc"], 4),
+            "compile_run_s": round(time.time() - t0, 1),
+        }
+    return out
+
+
+def comm_volume_table(n=250_000, m_edges=400_000):
+    """Halo all_to_all bytes per layer vs mesh size, from the REAL shard
+    tables of the 250K bench graph's Â₁/Â₂ (the measured halos, not a
+    model)."""
+    from bench import build_graph
+    from h2gcn_tpu.parallel.dist import shard_matrix_halo
+    from h2gcn_tpu.sparse import transforms
+
+    A = build_graph(n, m_edges, seed=0)
+    hops = transforms.nhood_split(A, 2)
+    mats = {"A1": transforms.normalize(hops[1]),
+            "A2": transforms.normalize(hops[2])}
+    table = {}
+    for D in (2, 4, 8, 16, 32):
+        entry = {"mesh": D}
+        n_local = -(-n // D)
+        for name, mat in mats.items():
+            hsm, _ = shard_matrix_halo(mat, D)
+            # the exchange ships [D, H, F] per device: D·H·F·4 bytes out
+            # of each chip per layer application
+            halo_bytes = D * hsm.halo * F_FEAT * 4
+            # padding-free volume: unique (dest shard, boundary col) pairs
+            coo = mat.tocoo()
+            ds = coo.row // n_local
+            ss = coo.col // n_local
+            bnd = ds != ss
+            real_rows = int(np.unique(
+                ds[bnd].astype(np.int64) * n + coo.col[bnd]).size)
+            entry[name] = {
+                "halo_rows_max_pair": int(hsm.halo),
+                "alltoall_mb_per_device": round(halo_bytes / 1e6, 2),
+                "real_boundary_rows_total": real_rows,
+                "allgather_mb_per_device": round(
+                    (D - 1) * n_local * F_FEAT * 4 / 1e6, 2),
+            }
+            entry[name]["reduction_vs_allgather"] = round(
+                entry[name]["allgather_mb_per_device"]
+                / max(entry[name]["alltoall_mb_per_device"], 1e-9), 1)
+        table[D] = entry
+    return table
+
+
+def main():
+    float(jnp.zeros(()))
+    print(f"backend={jax.default_backend()}", flush=True)
+    out = {"native_tpu_1device_mesh": native_compile_evidence()}
+    print(json.dumps(out, indent=2), flush=True)
+    out["comm_volume_250k"] = comm_volume_table()
+    (ROOT / "docs" / "dist_tpu_evidence.json").write_text(
+        json.dumps(out, indent=2))
+    print(json.dumps(out["comm_volume_250k"], indent=2))
+    print("wrote docs/dist_tpu_evidence.json")
+
+
+if __name__ == "__main__":
+    main()
