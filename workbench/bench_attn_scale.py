@@ -94,15 +94,37 @@ def run_one(N, M):
            "chunks": ac.num_chunks, "build_s": round(t_build, 2),
            "times_s": {}}
 
-    # --- segment path: plain wall time, failure-tolerant -----------------
-    seg_out = None
+    # --- fused path first: chained-dispatch timing. A faulting segment
+    # program leaves the device client UNAVAILABLE for the rest of the
+    # process (observed at 120K), so the fused numbers must land before
+    # the segment path is attempted.
+    res = interleaved_timeit({
+        "coo_fwd_highest": lambda: fwd_hi(ac, f1, f2, h),
+        "coo_fwd_default": lambda: fwd_df(ac, f1, f2, h),
+        "coo_fwdbwd_highest": lambda: step_hi(ac, f1, f2, h),
+        "coo_fwdbwd_default": lambda: step_df(ac, f1, f2, h),
+    }, rounds=3, iters=2, warmup=1)
+    for k, v in res.items():
+        out["times_s"][k] = round(v[0], 5)
+    o_hi = fwd_hi(ac, f1, f2, h)
+    o_df = fwd_df(ac, f1, f2, h)
+
+    # --- segment path last: plain wall time, failure-tolerant. The
+    # cross-check runs immediately after segment_fwd because a later
+    # segment_fwdbwd fault leaves every device buffer unreadable.
     for name, fn in (("segment_fwd", lambda: seg_fwd(adj, f1, f2, h)),
                      ("segment_fwdbwd", lambda: seg_step(adj, f1, f2, h))):
         try:
             r = fn()
             _block(r)  # compile + first run
             if name == "segment_fwd":
-                seg_out = r
+                out["fused_vs_segment_max_abs_err"] = float(
+                    jnp.max(jnp.abs(o_hi - r)))
+                out["fused_default_vs_segment_max_abs_err"] = float(
+                    jnp.max(jnp.abs(o_df - r)))
+                print(f"fused-hi vs segment max err: "
+                      f"{out['fused_vs_segment_max_abs_err']:.2e}",
+                      flush=True)
             best = np.inf
             for _ in range(2):
                 t0 = time.time()
@@ -114,26 +136,6 @@ def run_one(N, M):
             out["times_s"][name] = "device_error"
             print(f"{name}: {type(e).__name__}: {str(e)[:100]}", flush=True)
             break
-
-    # --- fused correctness cross-check ------------------------------------
-    o_hi = fwd_hi(ac, f1, f2, h)
-    if seg_out is not None:
-        out["fused_vs_segment_max_abs_err"] = float(
-            jnp.max(jnp.abs(o_hi - seg_out)))
-        out["fused_default_vs_segment_max_abs_err"] = float(
-            jnp.max(jnp.abs(fwd_df(ac, f1, f2, h) - seg_out)))
-        print(f"fused-hi vs segment max err: "
-              f"{out['fused_vs_segment_max_abs_err']:.2e}", flush=True)
-
-    # --- fused path: chained-dispatch timing ------------------------------
-    res = interleaved_timeit({
-        "coo_fwd_highest": lambda: fwd_hi(ac, f1, f2, h),
-        "coo_fwd_default": lambda: fwd_df(ac, f1, f2, h),
-        "coo_fwdbwd_highest": lambda: step_hi(ac, f1, f2, h),
-        "coo_fwdbwd_default": lambda: step_df(ac, f1, f2, h),
-    }, rounds=3, iters=2, warmup=1)
-    for k, v in res.items():
-        out["times_s"][k] = round(v[0], 5)
 
     ts = out["times_s"]
     if isinstance(ts.get("segment_fwd"), float):
@@ -155,9 +157,14 @@ def main():
     if len(sys.argv) > 2:
         args = [int(a) for a in sys.argv[1:]]
         sizes = list(zip(args[::2], args[1::2]))
-    results = [run_one(n, m) for n, m in sizes]
     art = pathlib.Path(__file__).resolve().parent.parent / "docs"
-    (art / "bench_attn_scale.json").write_text(json.dumps(results, indent=2))
+    results = []
+    for n, m in sizes:
+        results.append(run_one(n, m))
+        # incremental write: a later size's device fault must not lose
+        # the completed entries
+        (art / "bench_attn_scale.json").write_text(
+            json.dumps(results, indent=2))
 
 
 if __name__ == "__main__":
