@@ -251,6 +251,26 @@ def main():
                                + nch * cm.coot.tile * 128 * xbytes
                                + args.n * args.features * 4)
             sol[key] = coot_bytes / bw
+        # gather-scatter backend (pallas_gscatter): the ultra-sparse path —
+        # XLA edge-major gather + one-hot MXU scatter; auto routes here
+        # below ~32 nnz per occupied 512-tile
+        for tag, prec in (("f32", "highest"), ("bf16", "default")):
+            g1 = SparseMatrix.from_scipy(a1, backend="gscatter",
+                                         precision=prec)
+            g2 = SparseMatrix.from_scipy(a2, backend="gscatter",
+                                         precision=prec)
+            built[f"gscatter/{tag}"] = (g1, g2, a1, a2)
+            fns[f"gscatter/{tag}"] = (lambda g1=g1, g2=g2: agg(g1, g2, x))
+            xbytes = 4 if tag == "f32" else 2
+            gsc_bytes = 0.0
+            for gm in (g1, g2):
+                slots = sum(s.cols.shape[0] for s in gm.gsc.segments)
+                # gather pass: read x rows + write gathered; kernel pass:
+                # read gathered + rows tables; output flush
+                gsc_bytes += (slots * args.features * xbytes * 3
+                              + slots * 8
+                              + args.n * args.features * 4)
+            sol[f"gscatter/{tag}"] = gsc_bytes / bw
         if bsr_feasible:
             for tag, kw in (("f32", {}), ("bf16",
                                           dict(payload_dtype="bfloat16",
@@ -284,7 +304,7 @@ def main():
         import gc
 
         fns.clear()
-        del timed, m1, m2
+        del timed, m1, m2, g1, g2  # gscatter loop locals pin payloads too
         if bsr_feasible:
             # the loop locals still pin the BSR device payloads (largest
             # single allocation at 250K+) after fns.clear() drops the
