@@ -94,3 +94,58 @@ def test_cootile_spmm_tpu(precision):
     ref = A @ x
     tol = 1e-4 if precision == "highest" else 3e-2
     np.testing.assert_allclose(y, ref, rtol=tol, atol=tol)
+
+
+def test_attn_coo_multisegment_matches_oracle():
+    """COO-chunk fused attention with FORCED tiny SMEM segments (multiple
+    pallas_calls per pass, fwd and transpose tables) == dense oracle,
+    including all three grads — exercises the segment-concat paths that
+    the single-segment planetoid-scale tests never hit."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    import jax
+    import jax.numpy as jnp
+
+    import h2gcn_tpu.sparse.pallas_attention_coo as pac
+    from h2gcn_tpu.sparse import transforms
+
+    rng = np.random.default_rng(0)
+    n, H, F = 520, 2, 8
+    A = sp.random(n, n, density=0.02, random_state=1, format="csr")
+    A = (A > 0).astype(np.float32)  # asymmetric
+    A = transforms.add_eye(A)
+    old = pac._MAX_CHUNKS
+    pac._MAX_CHUNKS = 16
+    try:
+        ac = pac.build_attn_coo(A.tocsr(), tile=128, e_b=32)
+    finally:
+        pac._MAX_CHUNKS = old
+    assert len(ac.fwd) > 1 and len(ac.bwd) > 1
+
+    Ad = jnp.asarray(A.toarray())
+    f1 = jnp.asarray(rng.standard_normal((n, H)).astype(np.float32))
+    f2 = jnp.asarray(rng.standard_normal((n, H)).astype(np.float32))
+    h = jnp.asarray(rng.standard_normal((n, H * F)).astype(np.float32))
+    gw = jnp.asarray(rng.standard_normal((n, H * F)).astype(np.float32))
+
+    def oracle(f1, f2, h):
+        outs = []
+        for k in range(H):
+            e = jax.nn.leaky_relu(f1[:, k][:, None] + f2[:, k][None, :], 0.2)
+            e = jnp.where(Ad > 0, e, -1e30)
+            a = jnp.where(Ad > 0, jax.nn.softmax(e, 1), 0)
+            outs.append(a @ h[:, k * F:(k + 1) * F])
+        return jnp.concatenate(outs, 1)
+
+    out = pac.gat_attention_coo(ac, f1, f2, h, num_heads=H, feat=F,
+                                n_out=n, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(oracle(f1, f2, h)),
+                               rtol=1e-4, atol=1e-5)
+    g1 = jax.grad(lambda *x: jnp.sum(pac.gat_attention_coo(
+        ac, *x, num_heads=H, feat=F, n_out=n, interpret=True) * gw),
+        (0, 1, 2))(f1, f2, h)
+    g2 = jax.grad(lambda *x: jnp.sum(oracle(*x) * gw), (0, 1, 2))(f1, f2, h)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
