@@ -54,11 +54,23 @@ def fmt(vals):
     return f"{statistics.mean(vals):.2f} ± {statistics.stdev(vals):.2f}"
 
 
+# two-sided t critical values for the paired-Δ 95% CI (df = n_seeds - 1)
+_T95 = {4: 2.776, 7: 2.365, 19: 2.093, 20: 2.086, 24: 2.064}
+
+
+def _t95(df):
+    if df in _T95:
+        return _T95[df]
+    return 2.09 if df >= 15 else 2.776  # good to ~1% in the ranges used
+
+
 def main():
     ref = collect(sys.argv[1] if len(sys.argv) > 1 else "ref_train_*.log")
     ours = collect(sys.argv[2] if len(sys.argv) > 2 else "ours/ours_*.log")
-    print("| Config | Reference TF2 (mean±std) | h2gcn_tpu (mean±std) | Δ mean |")
-    print("|---|---|---|---|")
+    criterion = 0.3  # BASELINE.md accuracy-parity bar (percentage points)
+    print("| Config | Reference TF2 (mean±std) | h2gcn_tpu (mean±std) "
+          "| Δ mean [95% CI] | abs(Δ)<0.3? |")
+    print("|---|---|---|---|---|")
     for tag in CONFIGS:
         rseeds, oseeds = ref.get(tag, {}), ours.get(tag, {})
         shared = sorted(set(rseeds) & set(oseeds))
@@ -66,12 +78,29 @@ def main():
         ov = [oseeds[s] for s in shared]
         pretty = tag.replace("h2gcn1", "H2GCN-1").replace("h2gcn2", "H2GCN-2")
         pretty = pretty.replace("_cora", " Cora").replace("_citeseer", " Citeseer")
-        delta = (statistics.mean(ov) - statistics.mean(rv)) if shared else float("nan")
-        print(f"| {pretty} | {fmt(rv)} | {fmt(ov)} | {delta:+.2f} |")
+        if not shared:
+            print(f"| {pretty} | — | — | — | — |")
+            continue
+        # PAIRED per-seed deltas: shared seeds make the seed-to-seed
+        # variance cancel, which is the whole point of the shared-seed
+        # protocol
+        dv = [o - r for o, r in zip(ov, rv)]
+        dmean = statistics.mean(dv)
+        if len(dv) >= 2:
+            half = _t95(len(dv) - 1) * statistics.stdev(dv) / len(dv) ** 0.5
+            ci = f"{dmean:+.2f} [{dmean - half:+.2f}, {dmean + half:+.2f}]"
+            verdict = ("PASS" if abs(dmean) + half <= criterion else
+                       ("pass (mean)" if abs(dmean) <= criterion
+                        else "FAIL"))
+        else:
+            ci, verdict = f"{dmean:+.2f}", "n<2"
+        print(f"| {pretty} | {fmt(rv)} | {fmt(ov)} | {ci} | {verdict} |")
     n = min(len(set(ref.get(t, {})) & set(ours.get(t, {}))) for t in CONFIGS)
     seeds = sorted(set.intersection(*[set(ref.get(t, {})) & set(ours.get(t, {}))
                                       for t in CONFIGS]), key=int)
     print(f"\nseeds per config: {n}  ({', '.join(seeds)})")
+    print("criterion: PASS = whole 95% CI inside ±0.3pp; "
+          "'pass (mean)' = mean inside, CI spills")
 
 
 if __name__ == "__main__":
