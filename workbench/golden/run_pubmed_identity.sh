@@ -5,7 +5,9 @@
 # identity-features derivative (REAL pubmed graph/labels/split, features
 # I[n]) with shared seeds — the reference-native protocol the syn-products
 # cross-parity campaign used. 5 seeds x {H2GCN-2, H2GCN-1}, ours (JAX)
-# and the EXECUTED reference TF2 trainer. Re-entrant.
+# and the EXECUTED reference TF2 trainer. Re-entrant. 500-epoch budget:
+# best-val epochs land <150 at lr 0.01 on this dataset (smoke runs), and
+# the full 2000-epoch default costs ~2h/run on 4 contended host CPUs.
 set -u
 cd "$(dirname "$0")"
 export PYTHONPATH=/root/repo:/root/.axon_site
@@ -20,6 +22,7 @@ run_ours() {
       H2GCN planetoid --platform cpu \
       --dataset ind.pubmed --dataset_path "$DATA" \
       --network_setup "$net" --random_seed "$seed" --sparse_features \
+      --epochs 500 \
       --checkpoint_dir "/tmp/pub_ckpt/ours_s${seed}_${tag}" ) \
     > "$out" 2>&1
   echo "done pubmed ours $tag s$seed"
