@@ -129,7 +129,7 @@ def add_subparser_args(parser):
     group.add_argument("--save_activations", action="store_true")
     group.add_argument("--save_predictions", nargs="+", type=bool, default=True)
     group.add_argument("--sparse_backend",
-                       choices=["auto", "dense", "bsr", "cootile", "segment"],
+                       choices=["auto", "dense", "bsr", "cootile", "gscatter", "segment"],
                        default="auto")
     group.add_argument("--reorder", choices=["none", "rcm", "cluster"],
                        default="none",

@@ -46,7 +46,7 @@ def add_subparser_args(parser):
                        choices=[t.name for t in NType],
                        default="SYM_NORMALIZED")
     group.add_argument("--sparse_backend",
-                       choices=["auto", "dense", "bsr", "cootile", "segment"],
+                       choices=["auto", "dense", "bsr", "cootile", "gscatter", "segment"],
                        default="auto",
                        help="SpMM execution backend for the hop matrices")
     group.add_argument("--sparse_features", action="store_true",
