@@ -254,13 +254,14 @@ def main():
         # gather-scatter backend (pallas_gscatter): the ultra-sparse path —
         # XLA edge-major gather + one-hot MXU scatter; auto routes here
         # below ~32 nnz per occupied 512-tile
+        g1 = SparseMatrix.from_scipy(a1, backend="gscatter")
+        g2 = SparseMatrix.from_scipy(a2, backend="gscatter")
         for tag, prec in (("f32", "highest"), ("bf16", "default")):
-            g1 = SparseMatrix.from_scipy(a1, backend="gscatter",
-                                         precision=prec)
-            g2 = SparseMatrix.from_scipy(a2, backend="gscatter",
-                                         precision=prec)
-            built[f"gscatter/{tag}"] = (g1, g2, a1, a2)
-            fns[f"gscatter/{tag}"] = (lambda g1=g1, g2=g2: agg(g1, g2, x))
+            # the chunk tables are precision-independent — one build,
+            # two precision views (no duplicate device payloads)
+            v1, v2 = g1.replace(precision=prec), g2.replace(precision=prec)
+            built[f"gscatter/{tag}"] = (v1, v2, a1, a2)
+            fns[f"gscatter/{tag}"] = (lambda g1=v1, g2=v2: agg(g1, g2, x))
             xbytes = 4 if tag == "f32" else 2
             gsc_bytes = 0.0
             for gm in (g1, g2):

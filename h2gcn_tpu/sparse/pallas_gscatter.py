@@ -229,13 +229,22 @@ def gscatter_spmm(gs: GScatter, x: jax.Array, *, precision: str = "highest",
     if f_pad != f:
         xp = jnp.zeros((m, f_pad), jnp.float32).at[:, :f].set(xp)
     parts = []
+    tok = None
     for seg in gs.segments:
         gathered = xp[seg.cols] * seg.vals[:, None]
+        if tok is not None:
+            # zero-valued data dependency on the PREVIOUS segment's output:
+            # forces XLA to sequence the segments so only ~one multi-GB
+            # gathered buffer is live at a time (at 34M edges, f32, nine
+            # unsequenced 2.1GB gathers exhaust HBM)
+            gathered = gathered + tok.astype(gathered.dtype)
         if not exact:
             # halve the kernel-side stream; accumulation stays f32
             gathered = gathered.astype(jnp.bfloat16)
         fn = _seg_fn(int(seg.ctr.shape[0]), seg.rb_hi - seg.rb_lo, gs.tile,
                      gs.e_b, gs.kb, f_pad, exact, interpret)
-        parts.append(fn(seg.ctr, seg.rows, gathered))
+        out_seg = fn(seg.ctr, seg.rows, gathered)
+        parts.append(out_seg)
+        tok = out_seg[0, 0] * 0.0
     out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
     return out[: gs.n_rows, :f]
