@@ -129,8 +129,11 @@ def interleaved_timeit(fns: dict, rounds=4, iters=10, warmup=2):
     sync_s = _sync_overhead_s()
     est = {}
     for name, fn in fns.items():  # compile + warm each once before timing
-        for _ in range(warmup):
-            _block(fn())
+        try:
+            for _ in range(warmup):
+                _block(fn())
+        except Exception as e:
+            raise RuntimeError(f"warmup failed for '{name}'") from e
         # min of 2 estimation windows: a single window can catch a relay
         # hiccup and over-deepen (or under-deepen) the adaptive chain
         window = float("inf")

@@ -231,13 +231,16 @@ def gscatter_spmm(gs: GScatter, x: jax.Array, *, precision: str = "highest",
     parts = []
     tok = None
     for seg in gs.segments:
-        gathered = xp[seg.cols] * seg.vals[:, None]
+        xp_seg = xp
         if tok is not None:
-            # zero-valued data dependency on the PREVIOUS segment's output:
+            # scheduling dependency on the PREVIOUS segment's output:
             # forces XLA to sequence the segments so only ~one multi-GB
             # gathered buffer is live at a time (at 34M edges, f32, nine
-            # unsequenced 2.1GB gathers exhaust HBM)
-            gathered = gathered + tok.astype(gathered.dtype)
+            # unsequenced 2.1GB gathers exhaust HBM). optimization_barrier
+            # is the only reliable fence — a zero-valued additive token
+            # gets algebraically folded away.
+            xp_seg, _ = jax.lax.optimization_barrier((xp, tok))
+        gathered = xp_seg[seg.cols] * seg.vals[:, None]
         if not exact:
             # halve the kernel-side stream; accumulation stays f32
             gathered = gathered.astype(jnp.bfloat16)
@@ -245,6 +248,6 @@ def gscatter_spmm(gs: GScatter, x: jax.Array, *, precision: str = "highest",
                      gs.e_b, gs.kb, f_pad, exact, interpret)
         out_seg = fn(seg.ctr, seg.rows, gathered)
         parts.append(out_seg)
-        tok = out_seg[0, 0] * 0.0
+        tok = out_seg[0, 0]
     out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
     return out[: gs.n_rows, :f]
