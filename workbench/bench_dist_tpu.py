@@ -88,6 +88,26 @@ def comm_volume_table(n=250_000, m_edges=400_000):
             entry[name]["reduction_vs_allgather"] = round(
                 entry[name]["allgather_mb_per_device"]
                 / max(entry[name]["alltoall_mb_per_device"], 1e-9), 1)
+        # projected scaling efficiency for one aggregation layer pair,
+        # BASELINE.md's 1→D-host criterion: compute time divides by D
+        # (row-sharded), the halo all_to_all rides the interconnect.
+        # Single-chip compute anchored to the measured 250K cootile rate
+        # (docs/bench_large.json agg_edges_per_s); two interconnect
+        # scenarios: ICI (v5e 4-way torus ~45 GB/s/link effective) and
+        # multi-host DCN (~12.5 GB/s/host, 100 Gb/s).
+        nnz = sum(m.nnz for m in mats.values())
+        t1 = nnz / 289e6  # measured single-chip edges/s (bench_large r3)
+        comm_mb = sum(entry[k]["alltoall_mb_per_device"]
+                      for k in ("A1", "A2"))
+        for label, bw in (("ici_45GBps", 45e9), ("dcn_12.5GBps", 12.5e9)):
+            t_comm = comm_mb * 1e6 / bw
+            # serial = no overlap; overlapped = the production halo path's
+            # interior-reduce/exchange overlap (dist.py schedules the
+            # all_to_all under the interior segment-sum)
+            entry[f"projected_efficiency_{label}"] = {
+                "serial": round((t1 / D) / (t1 / D + t_comm), 3),
+                "overlapped": round((t1 / D) / max(t1 / D, t_comm), 3),
+            }
         table[D] = entry
     return table
 
