@@ -53,7 +53,7 @@ class GScatterSegment:
     ctr: jax.Array    # [nsteps] int32 output tile row (relative to rb_lo)
     rows: jax.Array   # [nchunks, e_b] int32 tile-local dest rows
     cols: jax.Array   # [nchunks * e_b] int32 global source cols (gather)
-    vals: jax.Array   # [nchunks * e_b] float32 (0 marks padding slots)
+    vals: jax.Array   # [nchunks, e_b] float32 (0 marks padding slots)
     rb_lo: int = struct.field(pytree_node=False)
     rb_hi: int = struct.field(pytree_node=False)
 
@@ -112,6 +112,7 @@ def build_gscatter(csr, tile: int = 512, e_b: int = 128,
     vals[slot] = v
     ctr_chunk = np.repeat(np.arange(n_rb, dtype=np.int32), chunks_per_row)
     rows = rows.reshape(total, e_b)
+    vals = vals.reshape(total, e_b)
 
     # segments: ≤ _MAX_STEPS grid steps each, cut at tile-row boundaries
     # (per-row kb alignment keeps every cut kb-block aligned). All segments
@@ -139,7 +140,7 @@ def build_gscatter(csr, tile: int = 512, e_b: int = 128,
         ctr_s = ctr_step[lo:hi] - rb_lo
         rows_s = rows[cl:ch]
         cols_s = cols[cl * e_b:ch * e_b]
-        vals_s = vals[cl * e_b:ch * e_b]
+        vals_s = vals[cl:ch]
         pad = uniform - (hi - lo)
         if pad:
             ctr_s = np.concatenate(
@@ -149,7 +150,7 @@ def build_gscatter(csr, tile: int = 512, e_b: int = 128,
             cols_s = np.concatenate(
                 [cols_s, np.zeros(pad * kb * e_b, np.int32)])
             vals_s = np.concatenate(
-                [vals_s, np.zeros(pad * kb * e_b, np.float32)])
+                [vals_s, np.zeros((pad * kb, e_b), np.float32)])
         segments.append(GScatterSegment(
             ctr=jnp.asarray(ctr_s), rows=jnp.asarray(rows_s),
             cols=jnp.asarray(cols_s), vals=jnp.asarray(vals_s),
@@ -160,7 +161,7 @@ def build_gscatter(csr, tile: int = 512, e_b: int = 128,
 
 
 def _make_kernel(tile, e_b, kb, exact):
-    def kernel(ctr_ref, rows_ref, g_ref, o_ref):
+    def kernel(ctr_ref, rows_ref, vals_ref, g_ref, o_ref):
         i = pl.program_id(1)
         prev = ctr_ref[jnp.maximum(i - 1, 0)]
         first = jnp.logical_or(i == 0, ctr_ref[i] != prev)
@@ -169,12 +170,18 @@ def _make_kernel(tile, e_b, kb, exact):
         acc = None
         for k in range(kb):  # unrolled
             row_oh = (iota_te == rows_ref[k][None, :]).astype(jnp.bfloat16)
-            gk = g_ref[k * e_b:(k + 1) * e_b, :]
+            # edge weights applied HERE in f32 (VPU, in-VMEM): the gathered
+            # stream stays a RAW x gather so the XLA side materializes ONE
+            # buffer per segment, not gather+multiply pairs (which is what
+            # exhausted HBM at 34M edges), and exactness is preserved —
+            # the weighting happens before the bf16 split
+            gk = (g_ref[k * e_b:(k + 1) * e_b, :].astype(jnp.float32)
+                  * vals_ref[k][:, None])
             if exact:
                 # 3 bf16 passes reproduce f32: the one-hot operand is
                 # exact in bf16 (pallas_cootile._onehot_dot_exact)
                 part = None
-                rem = gk.astype(jnp.float32)
+                rem = gk
                 for _ in range(3):
                     g_bf = rem.astype(jnp.bfloat16)
                     rem = rem - g_bf.astype(jnp.float32)
@@ -207,6 +214,7 @@ def _seg_fn(nsteps, rb_span, tile, e_b, kb, f_pad, exact, interpret):
             grid=grid,
             in_specs=[
                 pl.BlockSpec((kb, e_b), lambda j, i, tr: (i, 0)),
+                pl.BlockSpec((kb, e_b), lambda j, i, tr: (i, 0)),
                 pl.BlockSpec((kb * e_b, F_TILE), lambda j, i, tr: (i, j)),
             ],
             out_specs=pl.BlockSpec((tile, F_TILE),
@@ -228,6 +236,10 @@ def gscatter_spmm(gs: GScatter, x: jax.Array, *, precision: str = "highest",
     xp = x.astype(jnp.float32)
     if f_pad != f:
         xp = jnp.zeros((m, f_pad), jnp.float32).at[:, :f].set(xp)
+    if not exact:
+        # gather straight in bf16: halves the gathered buffer AND its
+        # HBM traffic; the kernel upcasts per chunk for the f32 weighting
+        xp = xp.astype(jnp.bfloat16)
     parts = []
     tok = None
     for seg in gs.segments:
@@ -240,13 +252,10 @@ def gscatter_spmm(gs: GScatter, x: jax.Array, *, precision: str = "highest",
             # is the only reliable fence — a zero-valued additive token
             # gets algebraically folded away.
             xp_seg, _ = jax.lax.optimization_barrier((xp, tok))
-        gathered = xp_seg[seg.cols] * seg.vals[:, None]
-        if not exact:
-            # halve the kernel-side stream; accumulation stays f32
-            gathered = gathered.astype(jnp.bfloat16)
+        gathered = xp_seg[seg.cols]  # RAW gather: one buffer, no epilogue
         fn = _seg_fn(int(seg.ctr.shape[0]), seg.rb_hi - seg.rb_lo, gs.tile,
                      gs.e_b, gs.kb, f_pad, exact, interpret)
-        out_seg = fn(seg.ctr, seg.rows, gathered)
+        out_seg = fn(seg.ctr, seg.rows, seg.vals, gathered)
         parts.append(out_seg)
         tok = out_seg[0, 0]
     out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
