@@ -283,7 +283,20 @@ def main():
                     spmm_bytes("bsr", tag, m, args.n, args.features)
                     for m in (a1b, a2b)) / bw
 
-        timed = interleaved_timeit(fns, rounds=3, iters=3, warmup=1)
+        # two timing GROUPS with the segment path as the common anchor:
+        # all backends resident at once exhausted HBM at n=1M (the
+        # gscatter/f32 warmup's gathered buffer on top of four cootile
+        # variants' tables). Interleaving stays honest within each group
+        # and the shared anchor exposes any cross-group relay drift.
+        gsc_keys = [k for k in fns if k.startswith("gscatter/")]
+        grp1 = {k: v for k, v in fns.items() if k not in gsc_keys}
+        timed = interleaved_timeit(grp1, rounds=3, iters=3, warmup=1)
+        if gsc_keys:
+            grp2 = {k: fns[k] for k in ["segment/f32"] + gsc_keys}
+            timed2 = interleaved_timeit(grp2, rounds=3, iters=3, warmup=1)
+            report["segment_anchor_group2_s"] = timed2["segment/f32"][0]
+            for k in gsc_keys:
+                timed[k] = timed2[k]
         report["agg_edges_per_s"] = {
             name: nnz_total / t for name, (t, _) in timed.items()
         }
