@@ -47,7 +47,11 @@ from flax import struct
 F_TILE = 128
 _K = 8  # default chunks per grid step (kb); auto_geometry picks 8/16/32
 _MAX_CHUNKS = 64 * 1024  # scalar-prefetch budget: 8B/chunk, SMEM ~1MB
-_VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the ~16MB/core
+_VMEM_BUDGET = 12 * 1024 * 1024  # auto_geometry's conservative cap
+# hard scoped-VMEM ceiling passed to the compiler: the v5e has 128MB
+# physical VMEM; the 16MB default is what historically blocked >2048
+# tiles (mis-read as a hardware limit in r2 — see pallas_attention_coo)
+_VMEM_LIMIT = 96 * 1024 * 1024
 
 # Cost-model rates for auto_geometry: v5e public specs, bf16 MXU
 # 197 TFLOP/s, exact mode ≈ 1/3 of it (the one-hot operand is exact in
@@ -625,7 +629,8 @@ def _seg_fn(nchunks, rb_span, tile, e_b, f_pad, dtype_name, interpret,
         ),
         out_shape=jax.ShapeDtypeStruct((rb_span * tile, f_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )
 
