@@ -256,12 +256,21 @@ def main():
         # below ~32 nnz per occupied 512-tile
         g1 = SparseMatrix.from_scipy(a1, backend="gscatter")
         g2 = SparseMatrix.from_scipy(a2, backend="gscatter")
+
+        # hop2's gather chain must not run concurrently with hop1's (the
+        # combined transient gathered buffers exhaust HBM at 34M edges)
+        @jax.jit
+        def gsc_agg(s1, s2, xx):
+            y1 = spmm(s1, xx)
+            xx2, _ = jax.lax.optimization_barrier((xx, y1[0, 0]))
+            return y1, spmm(s2, xx2)
+
         for tag, prec in (("f32", "highest"), ("bf16", "default")):
             # the chunk tables are precision-independent — one build,
             # two precision views (no duplicate device payloads)
             v1, v2 = g1.replace(precision=prec), g2.replace(precision=prec)
             built[f"gscatter/{tag}"] = (v1, v2, a1, a2)
-            fns[f"gscatter/{tag}"] = (lambda g1=v1, g2=v2: agg(g1, g2, x))
+            fns[f"gscatter/{tag}"] = (lambda g1=v1, g2=v2: gsc_agg(g1, g2, x))
             xbytes = 4 if tag == "f32" else 2
             gsc_bytes = 0.0
             for gm in (g1, g2):

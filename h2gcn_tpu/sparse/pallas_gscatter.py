@@ -43,9 +43,9 @@ from .pallas_cootile import F_TILE
 _KB = 8          # chunks per grid step (all share one output tile row)
 # per-segment step cap: bounds BOTH the scalar-prefetch SMEM (4B/step) and
 # the gathered-edge buffer one segment materializes in HBM
-# (steps · kb·e_b·f_pad·4B ≈ 2GB at the 4096 default with f_pad=128) —
+# (steps · kb·e_b·f_pad·4B ≈ 1GB at the 2048 default with f_pad=128) —
 # at 34M edges in f32 an unsegmented gather would need 17GB, over HBM
-_MAX_STEPS = 4096
+_MAX_STEPS = 2048
 
 
 @struct.dataclass
