@@ -47,7 +47,8 @@ _DENSE_AUTO_MAX_DIM = 8192
 _DEFAULT_BLOCK = 128
 
 
-def _auto_backend(n, m, nnz, coo, block_size, platform=None):
+def _auto_backend(n, m, nnz, coo, block_size, platform=None,
+                  precision="highest"):
     """Pick a backend for ``backend='auto'``.
 
     The dense/BSR/cootile ladder is an MXU economics model — it only
@@ -79,15 +80,20 @@ def _auto_backend(n, m, nnz, coo, block_size, platform=None):
     payload_bytes = nb * block_size * block_size * 4
     if payload_bytes <= 4e9:
         return "bsr"
-    # cootile vs gscatter: cootile reads one [T, F] x stripe per occupied
-    # 512-tile, so once occupancy drops below ~32 nnz/tile the gather-
-    # scatter backend's 256B-per-edge stream wins (measured crossover on
-    # the 1M-node Â₂: 9 nnz/tile, gscatter >=2x — docs/bench_large_1m.json)
+    # cootile vs gscatter at ultra-sparse occupancy — PRECISION-AWARE
+    # (measured on the 1M-node 34M-nnz Â₂, workbench/probe_bigtile_1m.py +
+    # probe runs): in bf16 mode cootile's tile densification stays ahead
+    # (82-106M e/s vs gscatter 71M — the XLA gather is random-access-bound
+    # at ~43GB/s), but in the f32-exact mode cootile pays 3x MXU on
+    # mostly-padding tiles and collapses to ~18M e/s while gscatter's
+    # 3-pass split of an edge-major stream holds 67M.
     t = 512
     ntc = -(-m // t)
     occ512 = np.unique(
         (coo.row // t).astype(np.int64) * ntc + coo.col // t).size
-    return "cootile" if nnz / max(occ512, 1) >= 32 else "gscatter"
+    if nnz / max(occ512, 1) >= 32:
+        return "cootile"
+    return "gscatter" if precision == "highest" else "cootile"
 
 
 @struct.dataclass
@@ -234,7 +240,8 @@ class SparseMatrix:
         symmetric = bool(n == m and (abs(csr - csr.T)).nnz == 0)
 
         if backend == "auto":
-            backend = _auto_backend(n, m, nnz, coo, block_size)
+            backend = _auto_backend(n, m, nnz, coo, block_size,
+                                    precision=precision)
 
         if backend == "dense":
             # the dense payload is authoritative; keep only no-op COO
