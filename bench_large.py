@@ -327,7 +327,8 @@ def main():
         import gc
 
         fns.clear()
-        del timed, m1, m2, g1, g2  # gscatter loop locals pin payloads too
+        # loop locals pin device payloads after fns.clear() drops lambdas
+        del timed, m1, m2, g1, g2, v1, v2
         if bsr_feasible:
             # the loop locals still pin the BSR device payloads (largest
             # single allocation at 250K+) after fns.clear() drops the
