@@ -91,8 +91,14 @@ def _auto_backend(n, m, nnz, coo, block_size, platform=None,
     ntc = -(-m // t)
     occ512 = np.unique(
         (coo.row // t).astype(np.int64) * ntc + coo.col // t).size
-    if nnz / max(occ512, 1) >= 32:
+    occ = nnz / max(occ512, 1)
+    if occ >= 32:
         return "cootile"
+    if occ < 4:
+        # nothing-per-tile regime (1M SBM Â₂: 1.4 nnz/512-tile): every
+        # tile path drowns in per-tile fixed cost; the XLA segment path's
+        # ~70M edges/s constant rate wins outright (docs/bench_large_1m_sbm)
+        return "segment"
     return "gscatter" if precision == "highest" else "cootile"
 
 

@@ -81,14 +81,30 @@ def test_gscatter_sparsematrix_plumbing():
     assert t.gsc is not None or m.symmetric
 
 
-def test_auto_backend_picks_gscatter_when_ultra_sparse():
+def test_auto_backend_ultra_sparse_ladder():
+    """Measured-crossover routing (1M-regime calibration,
+    docs/bench_large_1m*.json): >=32 nnz/occupied-512-tile -> cootile;
+    4-32 -> gscatter for exact / cootile for bf16; <4 -> segment (every
+    tile path drowns in per-tile fixed cost)."""
     from h2gcn_tpu.sparse.matrix import _auto_backend
 
-    n = 2_000_000
-    nnz = 4_000_000
     rng = np.random.default_rng(0)
-    coo = sp.coo_matrix(
-        (np.ones(nnz, np.float32),
-         (rng.integers(0, n, nnz), rng.integers(0, n, nnz))), shape=(n, n))
-    # ~1 nnz per occupied 512-tile -> gscatter
-    assert _auto_backend(n, n, nnz, coo, 128, platform="tpu") == "gscatter"
+
+    def mk(n, nnz):
+        return sp.coo_matrix(
+            (np.ones(nnz, np.float32),
+             (rng.integers(0, n, nnz), rng.integers(0, n, nnz))),
+            shape=(n, n))
+
+    # ~1 nnz per occupied tile: nothing-per-tile -> segment
+    coo = mk(2_000_000, 4_000_000)
+    assert _auto_backend(2_000_000, 2_000_000, 4_000_000, coo, 128,
+                         platform="tpu") == "segment"
+    # ~10 nnz per occupied tile (the 1M powerlaw hop2 regime):
+    # exact -> gscatter, bf16 -> cootile
+    n, nnz = 500_000, 10_000_000
+    coo = mk(n, nnz)
+    assert _auto_backend(n, n, nnz, coo, 128, platform="tpu",
+                         precision="highest") == "gscatter"
+    assert _auto_backend(n, n, nnz, coo, 128, platform="tpu",
+                         precision="default") == "cootile"
