@@ -40,7 +40,7 @@ run_ref() {
   echo "done pubmed ref $tag s$seed"
 }
 
-for seed in 1 2 3 42 123; do
+for seed in 1 2 3 42 123 4 5 6 7 8 9 10 11 12 13; do
   for cfg in \
     "M64-R-T1-G-V-T2-G-V-C1-C2-D0.5-MO:h2gcn2" \
     "M64-R-T1-G-V-C1-D0.5-MO:h2gcn1"; do
