@@ -52,7 +52,8 @@ def main():
 
     cmd = [sys.executable, "-u", "-m", "h2gcn_tpu.run_experiments",
            "GAT", "sparsegraph",
-           "--dataset", str(npz), "--dataset_path", str(work),
+           "--dataset", str(npz.with_suffix("")),
+           "--dataset_path", str(work),
            "--epochs", str(EPOCHS), "--fused_attention", "--attn_drop", "0",
            "--fused_precision", "default", "--patience", "0",
            "--random_seed", "1", "--timing",
