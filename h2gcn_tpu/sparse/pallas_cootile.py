@@ -75,13 +75,16 @@ _X_HIDE_FRAC = 0.55
 # NOTE: this jax's XLA pipeline emitter rejects buffer_count > 2 and
 # lookahead — kept for A/B probing on future runtimes.
 _X_BUFFERING = None
-# x-tile delivery: "slots" = 8 auto-pipelined BlockSpec operands (the
+# x-tile delivery: "slots" = kb auto-pipelined BlockSpec operands (the
 # default); "manual" = in-kernel double-buffered async copies from HBM,
 # with block i+1's copies started before block i's waits. A/B on the v5e
-# (workbench/probe_xbuffering.py, 131K/8M probe): slots 264M vs manual
-# 242M edges/s at (512,128), 219M vs 208M at (1024,256) — the auto
-# pipeline's lookahead already hides the x DMAs better than the 2-deep
-# manual scheme, so "manual" stays an experimental knob only.
+# (workbench/probe_xbuffering.py, 131K/8M probe): at kb=8 slots won
+# (264M vs 242M edges/s at (512,128) — r2); the r3 rerun at the auto-kb
+# geometries shows manual EDGING AHEAD at kb=32 (323M vs 298M at
+# (512,128,kb32); tie at (1024,256,kb16)) — 32 slot operands saturate
+# the pipeline scheduler where 2-deep manual copies don't. Kept on
+# "slots" pending a geometry-conditional rule; rerun the probe before
+# flipping.
 _X_MODE = "slots"
 
 

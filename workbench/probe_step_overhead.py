@@ -7,8 +7,13 @@ output blocks — the pipeline DMAs everything identically) isolates the
 per-step fixed cost (DMA descriptors + scalar bookkeeping); the delta to
 the real kernel is the one-hot build + MXU contractions.
 
-v5e finding (chained-dispatch timing): ~0.6-0.7 µs/step fixed, roughly
-invariant in (tile, e_b); the real kernel's compute adds ~0.6 µs on top.
+Two nulls isolate the two cost classes the geometry model separates:
+``null-no-x`` drops the x slot operands entirely (pure step overhead —
+the model's `_STEP_OVERHEAD_S`), while ``null`` keeps them (overhead +
+the x DMA stream the model charges separately). r3 v5e at the auto-kb
+geometries: null ~5.1-5.7 µs/step *including* the kb-deep x DMAs
+(4MB/step at (512,128,kb32) ≈ 5 µs of HBM time — the DMAs, not fixed
+cost), with the real kernel's compute adding 2-7.7 µs.
 
 Usage: python workbench/probe_step_overhead.py [n] [m_edges]
 """
@@ -37,11 +42,15 @@ print(f"backend={jax.default_backend()} n={N} m={M}")
 A = build_graph(N, M, seed=0)
 
 
-def null_seg_fn(nchunks, rb_span, tile, e_b, f_pad, kb):
-    """pallas_call with _seg_fn's exact grid/DMA structure, null compute."""
+def null_seg_fn(nchunks, rb_span, tile, e_b, f_pad, kb, with_x=True):
+    """pallas_call with _seg_fn's exact grid/DMA structure, null compute.
+
+    ``with_x=False`` additionally drops the x slot operands: what remains
+    is the pure per-step fixed cost (descriptors + scalar bookkeeping) —
+    the thing `_STEP_OVERHEAD_S` models."""
 
     def kernel(ctr_ref, ctc_ref, rows_ref, cols_ref, vals_ref, *xs_o):
-        o_ref = xs_o[kb]
+        o_ref = xs_o[kb if with_x else 0]
         i = pl.program_id(1)
         prev = ctr_ref[jnp.maximum(kb * i - 1, 0)]
         first = jnp.logical_or(i == 0, ctr_ref[kb * i] != prev)
@@ -59,7 +68,7 @@ def null_seg_fn(nchunks, rb_span, tile, e_b, f_pad, kb):
         pl.BlockSpec((tile, pc.F_TILE),
                      lambda j, i, tr, tc, k=k: (tc[kb * i + k], j))
         for k in range(kb)
-    ]
+    ] if with_x else []
     out_spec = pl.BlockSpec((tile, pc.F_TILE),
                             lambda j, i, tr, tc: (tr[kb * i], j))
     return pl.pallas_call(
@@ -89,13 +98,18 @@ for tile, e_b in ((512, 128), (512, 256), (1024, 256)):
     real = pc._seg_fn(nchunks, seg.rb_hi - seg.rb_lo, tile, e_b, f_pad,
                       "bfloat16", False, kb=kb)
     null = null_seg_fn(nchunks, seg.rb_hi - seg.rb_lo, tile, e_b, f_pad, kb)
-    args = (seg.ctr, seg.ctc, seg.rows, seg.cols, seg.vals) + (xp,) * kb
+    null0 = null_seg_fn(nchunks, seg.rb_hi - seg.rb_lo, tile, e_b, f_pad,
+                        kb, with_x=False)
+    args = (seg.ctr, seg.ctc, seg.rows, seg.cols, seg.vals)
     res = interleaved_timeit({
-        "real": lambda: real(*args),
-        "null": lambda: null(*args),
+        "real": lambda: real(*(args + (xp,) * kb)),
+        "null": lambda: null(*(args + (xp,) * kb)),
+        "null_no_x": lambda: null0(*args),
     }, rounds=3, iters=5, warmup=2)
     t_real, t_null = res["real"][0], res["null"][0]
+    t_null0 = res["null_no_x"][0]
     print(f"(tile={tile}, e_b={e_b}, kb={kb}): {steps} steps | "
-          f"null {t_null / steps * 1e6:.2f} us/step (fixed) | "
-          f"real {t_real / steps * 1e6:.2f} us/step | "
+          f"fixed {t_null0 / steps * 1e6:.2f} us/step (no-x null) | "
+          f"+x DMAs {t_null / steps * 1e6:.2f} | "
+          f"real {t_real / steps * 1e6:.2f} | "
           f"compute delta {(t_real - t_null) / steps * 1e6:.2f} us/step")
