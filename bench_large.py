@@ -212,15 +212,15 @@ def main():
         bw, gen = tpu_hbm_bw()
         report["tpu_generation"] = gen
         if args.skip_agg:
-            # train-step-only mode: merge into the existing artifact so
-            # the aggregation numbers from a prior run survive
+            # train-step-only mode: merge into the existing artifact so the
+            # aggregation numbers from a prior run survive (keys from THIS
+            # partial run overwrite the prior file's — intentional refresh)
             if os.path.exists(args.out):
                 with open(args.out) as f:
                     prior = json.load(f)
-                prior.update({k: v for k, v in report.items()})
+                prior.update(report)
                 report = prior
-        if args.skip_agg:
-            # train-step-only: build just the backend the step uses
+            # build just the backend the train step uses
             built = {}
             for tag, prec in (("f32", "highest"), ("bf16", "default")):
                 p1, p2 = ordered["cluster"]
@@ -230,140 +230,140 @@ def main():
                     SparseMatrix.from_scipy(p2, backend="cootile",
                                             precision=prec), p1, p2)
             del a1b, a2b
-        if not args.skip_agg:
-          m1 = SparseMatrix.from_scipy(a1, backend="segment")
-          m2 = SparseMatrix.from_scipy(a2, backend="segment")
-          fns["segment/f32"] = lambda m1=m1, m2=m2: agg(m1, m2, x)
-          sol["segment/f32"] = sum(
-              spmm_bytes("segment", "f32", m, args.n, args.features)
-              for m in (a1, a2)) / bw
-          # COO-tile kernel: the payload-free at-scale path (pallas_cootile),
-          # in natural order and under the hub-clustering reorder (the kernel
-          # pays one x-tile HBM read per visited tile, so the reorder's tile
-          # reduction is direct HBM traffic savings)
-          t0 = time.perf_counter()
-          built = {}
-          geo = {}
-          for label, (p1, p2) in (("cootile", (a1, a2)),
-                                  ("cootile-cluster", ordered["cluster"])):
-              for tag, prec in (("f32", "highest"), ("bf16", "default")):
-                  # geometry is precision-dependent (auto_geometry's MXU
-                  # roof differs 3x between bf16 and split-3 exact mode),
-                  # so each precision gets its own build
-                  k1 = SparseMatrix.from_scipy(p1, backend="cootile",
-                                               precision=prec)
-                  k2 = SparseMatrix.from_scipy(p2, backend="cootile",
-                                               precision=prec)
-                  built[f"{label}/{tag}"] = (k1, k2, p1, p2)
-                  geo[f"{label}/{tag}"] = {
-                      "hop1": (k1.coot.tile, k1.coot.e_b, k1.coot.kb),
-                      "hop2": (k2.coot.tile, k2.coot.e_b, k2.coot.kb)}
-          report["cootile_build_s"] = time.perf_counter() - t0
-          report["cootile_geometry"] = geo
-          for key, (k1, k2, p1, p2) in built.items():
-              tag = key.split("/")[1]
-              fns[key] = (lambda k1=k1, k2=k2: agg(k1, k2, x))
-              # roofline: edge chunks + one x tile per CHUNK (each slot
-              # operand of an 8-chunk block DMAs its own tile; bf16 mode
-              # stores the x tiles in bf16 — 2 bytes/elem)
-              xbytes = 4 if tag == "f32" else 2
-              coot_bytes = 0.0
-              for cm in (k1, k2):
-                  nch = sum(s.ctr.shape[0] for s in cm.coot.segments)
-                  coot_bytes += (nch * cm.coot.e_b * 12
-                                 + nch * cm.coot.tile * 128 * xbytes
-                                 + args.n * args.features * 4)
-              sol[key] = coot_bytes / bw
-          # gather-scatter backend (pallas_gscatter): the ultra-sparse path —
-          # XLA edge-major gather + one-hot MXU scatter; auto routes here
-          # below ~32 nnz per occupied 512-tile
-          g1 = SparseMatrix.from_scipy(a1, backend="gscatter")
-          g2 = SparseMatrix.from_scipy(a2, backend="gscatter")
+        else:
+            m1 = SparseMatrix.from_scipy(a1, backend="segment")
+            m2 = SparseMatrix.from_scipy(a2, backend="segment")
+            fns["segment/f32"] = lambda m1=m1, m2=m2: agg(m1, m2, x)
+            sol["segment/f32"] = sum(
+                spmm_bytes("segment", "f32", m, args.n, args.features)
+                for m in (a1, a2)) / bw
+            # COO-tile kernel: the payload-free at-scale path (pallas_cootile),
+            # in natural order and under the hub-clustering reorder (the kernel
+            # pays one x-tile HBM read per visited tile, so the reorder's tile
+            # reduction is direct HBM traffic savings)
+            t0 = time.perf_counter()
+            built = {}
+            geo = {}
+            for label, (p1, p2) in (("cootile", (a1, a2)),
+                                    ("cootile-cluster", ordered["cluster"])):
+                for tag, prec in (("f32", "highest"), ("bf16", "default")):
+                    # geometry is precision-dependent (auto_geometry's MXU
+                    # roof differs 3x between bf16 and split-3 exact mode),
+                    # so each precision gets its own build
+                    k1 = SparseMatrix.from_scipy(p1, backend="cootile",
+                                                 precision=prec)
+                    k2 = SparseMatrix.from_scipy(p2, backend="cootile",
+                                                 precision=prec)
+                    built[f"{label}/{tag}"] = (k1, k2, p1, p2)
+                    geo[f"{label}/{tag}"] = {
+                        "hop1": (k1.coot.tile, k1.coot.e_b, k1.coot.kb),
+                        "hop2": (k2.coot.tile, k2.coot.e_b, k2.coot.kb)}
+            report["cootile_build_s"] = time.perf_counter() - t0
+            report["cootile_geometry"] = geo
+            for key, (k1, k2, p1, p2) in built.items():
+                tag = key.split("/")[1]
+                fns[key] = (lambda k1=k1, k2=k2: agg(k1, k2, x))
+                # roofline: edge chunks + one x tile per CHUNK (each slot
+                # operand of an 8-chunk block DMAs its own tile; bf16 mode
+                # stores the x tiles in bf16 — 2 bytes/elem)
+                xbytes = 4 if tag == "f32" else 2
+                coot_bytes = 0.0
+                for cm in (k1, k2):
+                    nch = sum(s.ctr.shape[0] for s in cm.coot.segments)
+                    coot_bytes += (nch * cm.coot.e_b * 12
+                                   + nch * cm.coot.tile * 128 * xbytes
+                                   + args.n * args.features * 4)
+                sol[key] = coot_bytes / bw
+            # gather-scatter backend (pallas_gscatter): the ultra-sparse path —
+            # XLA edge-major gather + one-hot MXU scatter; auto routes here
+            # below ~32 nnz per occupied 512-tile
+            g1 = SparseMatrix.from_scipy(a1, backend="gscatter")
+            g2 = SparseMatrix.from_scipy(a2, backend="gscatter")
 
-          # hop2's gather chain must not run concurrently with hop1's (the
-          # combined transient gathered buffers exhaust HBM at 34M edges)
-          @jax.jit
-          def gsc_agg(s1, s2, xx):
-              y1 = spmm(s1, xx)
-              xx2, _ = jax.lax.optimization_barrier((xx, y1[0, 0]))
-              return y1, spmm(s2, xx2)
+            # hop2's gather chain must not run concurrently with hop1's (the
+            # combined transient gathered buffers exhaust HBM at 34M edges)
+            @jax.jit
+            def gsc_agg(s1, s2, xx):
+                y1 = spmm(s1, xx)
+                xx2, _ = jax.lax.optimization_barrier((xx, y1[0, 0]))
+                return y1, spmm(s2, xx2)
 
-          for tag, prec in (("f32", "highest"), ("bf16", "default")):
-              # the chunk tables are precision-independent — one build,
-              # two precision views (no duplicate device payloads)
-              v1, v2 = g1.replace(precision=prec), g2.replace(precision=prec)
-              built[f"gscatter/{tag}"] = (v1, v2, a1, a2)
-              fns[f"gscatter/{tag}"] = (lambda g1=v1, g2=v2: gsc_agg(g1, g2, x))
-              xbytes = 4 if tag == "f32" else 2
-              gsc_bytes = 0.0
-              for gm in (g1, g2):
-                  slots = sum(s.cols.shape[0] for s in gm.gsc.segments)
-                  # gather pass: read x rows + write gathered; kernel pass:
-                  # read gathered + rows tables; output flush
-                  gsc_bytes += (slots * args.features * xbytes * 3
-                                + slots * 8
-                                + args.n * args.features * 4)
-              sol[f"gscatter/{tag}"] = gsc_bytes / bw
-          if bsr_feasible:
-              for tag, kw in (("f32", {}), ("bf16",
-                                            dict(payload_dtype="bfloat16",
-                                                 precision="default"))):
-                  b1 = SparseMatrix.from_scipy(a1b, backend="bsr", **kw)
-                  b2 = SparseMatrix.from_scipy(a2b, backend="bsr", **kw)
-                  fns[f"bsr/{tag}"] = lambda b1=b1, b2=b2: agg(b1, b2, x)
-                  sol[f"bsr/{tag}"] = sum(
-                      spmm_bytes("bsr", tag, m, args.n, args.features)
-                      for m in (a1b, a2b)) / bw
+            for tag, prec in (("f32", "highest"), ("bf16", "default")):
+                # the chunk tables are precision-independent — one build,
+                # two precision views (no duplicate device payloads)
+                v1, v2 = g1.replace(precision=prec), g2.replace(precision=prec)
+                built[f"gscatter/{tag}"] = (v1, v2, a1, a2)
+                fns[f"gscatter/{tag}"] = (lambda g1=v1, g2=v2: gsc_agg(g1, g2, x))
+                xbytes = 4 if tag == "f32" else 2
+                gsc_bytes = 0.0
+                for gm in (g1, g2):
+                    slots = sum(s.cols.shape[0] for s in gm.gsc.segments)
+                    # gather pass: read x rows + write gathered; kernel pass:
+                    # read gathered + rows tables; output flush
+                    gsc_bytes += (slots * args.features * xbytes * 3
+                                  + slots * 8
+                                  + args.n * args.features * 4)
+                sol[f"gscatter/{tag}"] = gsc_bytes / bw
+            if bsr_feasible:
+                for tag, kw in (("f32", {}), ("bf16",
+                                              dict(payload_dtype="bfloat16",
+                                                   precision="default"))):
+                    b1 = SparseMatrix.from_scipy(a1b, backend="bsr", **kw)
+                    b2 = SparseMatrix.from_scipy(a2b, backend="bsr", **kw)
+                    fns[f"bsr/{tag}"] = lambda b1=b1, b2=b2: agg(b1, b2, x)
+                    sol[f"bsr/{tag}"] = sum(
+                        spmm_bytes("bsr", tag, m, args.n, args.features)
+                        for m in (a1b, a2b)) / bw
 
-          # two timing GROUPS with the segment path as the common anchor:
-          # all backends resident at once exhausted HBM at n=1M (the
-          # gscatter/f32 warmup's gathered buffer on top of four cootile
-          # variants' tables). Interleaving stays honest within each group
-          # and the shared anchor exposes any cross-group relay drift.
-          gsc_keys = [k for k in fns if k.startswith("gscatter/")]
-          grp1 = {k: v for k, v in fns.items() if k not in gsc_keys}
-          timed = interleaved_timeit(grp1, rounds=3, iters=3, warmup=1)
-          if gsc_keys:
-              grp2 = {k: fns[k] for k in ["segment/f32"] + gsc_keys}
-              timed2 = interleaved_timeit(grp2, rounds=3, iters=3, warmup=1)
-              report["segment_anchor_group2_s"] = timed2["segment/f32"][0]
-              for k in gsc_keys:
-                  timed[k] = timed2[k]
-          report["agg_edges_per_s"] = {
-              name: nnz_total / t for name, (t, _) in timed.items()
-          }
-          report["roofline"] = {
-              name: {"sol_ms": round(sol[name] * 1e3, 2),
-                     "achieved_ms": round(timed[name][0] * 1e3, 2),
-                     "frac_of_sol": round(sol[name] / timed[name][0], 3)}
-              for name in timed
-          }
-          # checkpoint the report before the train-step section (which can
-          # OOM at the largest scales) so the aggregation numbers survive
-          os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-          with open(args.out, "w") as f:
-              json.dump(report, f, indent=1, default=float)
+            # two timing GROUPS with the segment path as the common anchor:
+            # all backends resident at once exhausted HBM at n=1M (the
+            # gscatter/f32 warmup's gathered buffer on top of four cootile
+            # variants' tables). Interleaving stays honest within each group
+            # and the shared anchor exposes any cross-group relay drift.
+            gsc_keys = [k for k in fns if k.startswith("gscatter/")]
+            grp1 = {k: v for k, v in fns.items() if k not in gsc_keys}
+            timed = interleaved_timeit(grp1, rounds=3, iters=3, warmup=1)
+            if gsc_keys:
+                grp2 = {k: fns[k] for k in ["segment/f32"] + gsc_keys}
+                timed2 = interleaved_timeit(grp2, rounds=3, iters=3, warmup=1)
+                report["segment_anchor_group2_s"] = timed2["segment/f32"][0]
+                for k in gsc_keys:
+                    timed[k] = timed2[k]
+            report["agg_edges_per_s"] = {
+                name: nnz_total / t for name, (t, _) in timed.items()
+            }
+            report["roofline"] = {
+                name: {"sol_ms": round(sol[name] * 1e3, 2),
+                       "achieved_ms": round(timed[name][0] * 1e3, 2),
+                       "frac_of_sol": round(sol[name] / timed[name][0], 3)}
+                for name in timed
+            }
+            # checkpoint the report before the train-step section (which can
+            # OOM at the largest scales) so the aggregation numbers survive
+            os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+            with open(args.out, "w") as f:
+                json.dump(report, f, indent=1, default=float)
 
-          # release the device tables of every backend the train step won't
-          # use — at n=1M the extra cootile/segment variants hold several GB
-          # of HBM that the backward pass needs
-          import gc
+            # release the device tables of every backend the train step won't
+            # use — at n=1M the extra cootile/segment variants hold several GB
+            # of HBM that the backward pass needs
+            import gc
 
-          fns.clear()
-          grp1.clear()
-          # loop locals pin device payloads after fns.clear() drops lambdas
-          del timed, m1, m2, g1, g2, v1, v2
-          if gsc_keys:
-              del grp2, timed2
-          if bsr_feasible:
-              # the loop locals still pin the BSR device payloads (largest
-              # single allocation at 250K+) after fns.clear() drops the
-              # lambdas that captured them
-              del b1, b2
-          del a1b, a2b
-          built = {k: v for k, v in built.items()
-                   if k.startswith("cootile-cluster")}
-          gc.collect()
+            fns.clear()
+            grp1.clear()
+            # loop locals pin device payloads after fns.clear() drops lambdas
+            del timed, m1, m2, g1, g2, v1, v2
+            if gsc_keys:
+                del grp2, timed2
+            if bsr_feasible:
+                # the loop locals still pin the BSR device payloads (largest
+                # single allocation at 250K+) after fns.clear() drops the
+                # lambdas that captured them
+                del b1, b2
+            del a1b, a2b
+            built = {k: v for k, v in built.items()
+                     if k.startswith("cootile-cluster")}
+            gc.collect()
 
         if not args.skip_train_epoch:
             # full fused H2GCN-2 train step (forward + masked loss +

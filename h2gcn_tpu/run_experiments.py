@@ -127,6 +127,12 @@ def main(argv=None):
             args.objects["test_step"](**args.objects["tensors"])
         )
         if timing:
+            # Honest device time: the step calls above return as soon as the
+            # dispatch is ACKed (through the axon relay that reads ~ms
+            # regardless of work), so force completion of every stat output
+            # before reading the clock. test_step stats depend on the
+            # updated params, so this covers the train step's update too.
+            jax.block_until_ready(args.objects["epoch_stats"])
             dt = _time.perf_counter() - t_epoch
             args.objects["epoch_times"].append(dt)
             args.objects["epoch_stats"]["epoch_time_s"] = dt

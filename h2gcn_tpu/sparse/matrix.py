@@ -205,9 +205,14 @@ class SparseMatrix:
             coot_t=self.coot,
             gsc=self.gsc_t,
             gsc_t=self.gsc,
+            # attn payloads are orientation-specific and the fused-attention
+            # VJP is self-contained (never dispatches through a transposed
+            # view), so the view intentionally carries attn=None; normalize
+            # the backend tag so no caller sees backend='attn' without a
+            # payload.
             shape=(self.shape[1], self.shape[0]),
             nnz=self.nnz,
-            backend=self.backend,
+            backend="segment" if self.backend == "attn" else self.backend,
             symmetric=False,
             precision=self.precision,
         )

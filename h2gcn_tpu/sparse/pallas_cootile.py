@@ -212,8 +212,20 @@ def auto_geometry(csr, f: int = 64, dtype: str = "bf16",
 
     coo = sp.coo_matrix(csr)
     n, m = coo.shape
+    # The cost model depends on per-candidate tile-occupancy histograms,
+    # so the cache key must see sparsity STRUCTURE, not just shape/nnz —
+    # e.g. natural vs cluster-reordered orderings of the same matrix have
+    # identical (n, m, nnz) but different occupied-tile counts. Fingerprint
+    # the 512-row tile histogram (cheap, order-sensitive, collision-safe
+    # enough for a perf cache).
+    import hashlib
+
+    fp = hashlib.sha1(
+        np.bincount((coo.row.astype(np.int64) // 512 * (-(-m // 512))
+                     + coo.col.astype(np.int64) // 512) % (1 << 20),
+                    minlength=1 << 20).tobytes()).hexdigest()[:12]
     key = (f"{n}x{m}/nnz{coo.nnz}/f{f}/{dtype}/t{tile_cands}/"
-           f"e{e_b_cands}/k{kb_cands}")
+           f"e{e_b_cands}/k{kb_cands}/s{fp}")
     hit = _geo_cache_load(key)
     if hit is not None:
         return hit

@@ -29,6 +29,7 @@ Exact mode: the one-hot operand is exactly representable in bf16, so only
 from __future__ import annotations
 
 import functools
+import warnings
 from typing import Tuple
 
 import jax
@@ -128,8 +129,21 @@ def build_gscatter(csr, tile: int = 512, e_b: int = 128,
         hi = min(lo + _MAX_STEPS, nsteps)
         if hi < nsteps:
             cut = row_starts[(row_starts > lo) & (row_starts <= hi)]
-            hi = int(cut[-1]) if len(cut) else int(
-                row_starts[row_starts > lo][0])
+            if len(cut):
+                hi = int(cut[-1])
+            else:
+                # A single tile row spans more than _MAX_STEPS steps: the
+                # segment must extend to the next row start (or the end) so
+                # the cut stays tile-row aligned. NOTE: this one segment then
+                # exceeds _MAX_STEPS, so its gather buffer exceeds the bound
+                # the cap exists for — acceptable only because a >2.1M-nnz
+                # single 512-row stripe is pathological; warn when it fires.
+                nxt = row_starts[row_starts > lo]
+                hi = int(nxt[0]) if len(nxt) else nsteps
+                warnings.warn(
+                    f"gscatter: tile row spans {hi - lo} steps "
+                    f"(> _MAX_STEPS={_MAX_STEPS}); segment buffer bound "
+                    "exceeded for this stripe")
         bounds.append((lo, hi))
         lo = hi
     uniform = max(hi - lo for lo, hi in bounds)

@@ -61,6 +61,31 @@ def test_gscatter_segments_and_empty_rows():
     np.testing.assert_allclose(out, a @ x, rtol=1e-4, atol=1e-5)
 
 
+def test_gscatter_overlong_final_row():
+    """A single tile row spanning more than _MAX_STEPS grid steps must not
+    crash segment cutting (regression: IndexError when no later row start
+    exists). The over-long segment is allowed through with a warning."""
+    import h2gcn_tpu.sparse.pallas_gscatter as gsm
+
+    # all edges in the LAST tile row: 300 edges / (e_b=32 * kb=2) = 5 steps
+    n = 128
+    rng = np.random.default_rng(4)
+    r = rng.integers(64, 128, 300)  # tile=64 -> tile row 1 only
+    c = rng.integers(0, n, 300)
+    a = sp.csr_matrix((np.ones(300, np.float32), (r, c)), shape=(n, n))
+    a.sum_duplicates()
+    old = gsm._MAX_STEPS
+    gsm._MAX_STEPS = 2
+    try:
+        with pytest.warns(UserWarning, match="segment buffer bound"):
+            gs = build_gscatter(a, tile=64, e_b=32, kb=2)
+    finally:
+        gsm._MAX_STEPS = old
+    x = np.random.default_rng(0).standard_normal((n, 16)).astype(np.float32)
+    out = np.asarray(gscatter_spmm(gs, jnp.asarray(x), interpret=True))
+    np.testing.assert_allclose(out, a @ x, rtol=1e-4, atol=1e-5)
+
+
 def test_gscatter_sparsematrix_plumbing():
     """backend='gscatter' builds payloads (incl. the transpose for the
     VJP) and the CPU dispatch falls back to the segment path with
