@@ -186,6 +186,9 @@ def _blocked_loop(args, k):
     early_stopping = args.objects["early_stopping"]
     es_metric = args.objects.get("es_metric", "val_loss")
 
+    timing = bool(getattr(args, "_timing", False))
+    block_times = []  # (k_eff, device_s) per dispatched block
+
     t0 = _time.perf_counter()
     args.current_epoch = 0
     stopped = False
@@ -193,9 +196,17 @@ def _blocked_loop(args, k):
         # tail blocks shrink so device-side best tracking never sees epochs
         # past --epochs (one extra compile for the final partial block)
         k_eff = min(k, args.epochs - args.current_epoch)
+        t_block = _time.perf_counter()
         stack = args.objects["train_block"](
             k_eff, args.current_epoch + 1, **args.objects["tensors"]
         )
+        if timing:
+            # force completion before the host-side replay (whose per-stat
+            # readbacks each pay relay RTT and would pollute the number)
+            import jax
+
+            jax.block_until_ready(stack)
+            block_times.append((k_eff, _time.perf_counter() - t_block))
         n_avail = len(next(iter(stack.values())))
         for i in range(n_avail):
             if args.current_epoch >= args.epochs:
@@ -216,6 +227,17 @@ def _blocked_loop(args, k):
     print(f"===> Blocked training: {args.current_epoch} epochs in "
           f"{wall:.2f}s ({1e3 * wall / max(args.current_epoch, 1):.2f} "
           f"ms/epoch incl. compile)")
+    if timing and len(block_times) > 1:
+        # steady state: every block after the first full-size one (block 0
+        # pays the compile; a shrunken tail block pays its own compile too,
+        # so report only blocks whose k matches block 0's)
+        k0 = block_times[0][0]
+        steady = [t / ke for ke, t in block_times[1:] if ke == k0]
+        if steady:
+            print(f"===> Timing (blocked, device): "
+                  f"{1e3 * sorted(steady)[len(steady) // 2]:.2f} ms/epoch "
+                  f"steady-state over {len(steady)} block(s) of {k0} "
+                  f"(first block {block_times[0][1]:.2f}s incl. compile)")
     while len(args.objects["post_train_callbacks"]) > 0:
         func = args.objects["post_train_callbacks"].popleft()
         func(args)
