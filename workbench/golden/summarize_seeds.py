@@ -8,6 +8,11 @@ Usage: python summarize_seeds.py [ref_glob] [ours_glob]
   default globs: ref_train_*.log  ours/ours_*.log
   e.g. the lr-matched pair:  ref_train_*.log  ours_lr3/ours_*.log
        the published-lr pair: ref_lr01/ref_*.log  ours/ours_*.log
+       the pubmed-identity campaign:
+         python summarize_seeds.py 'pubmed_identity/ref_*.log' \
+                                   'pubmed_identity/ours_*.log'
+  (configs are auto-discovered from the filenames; dataset-less tags like
+   plain `h2gcn1` come from single-dataset campaign dirs)
 """
 import glob
 import os
@@ -16,7 +21,11 @@ import statistics
 import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-CONFIGS = ["h2gcn2_cora", "h2gcn1_cora", "h2gcn2_citeseer", "h2gcn1_citeseer"]
+# preferred row order; tags discovered from filenames but absent here are
+# appended alphabetically (e.g. the pubmed_identity campaign's bare
+# `h2gcn1`/`h2gcn2` tags)
+CONFIG_ORDER = ["h2gcn2_cora", "h2gcn1_cora", "h2gcn2_citeseer",
+                "h2gcn1_citeseer", "h2gcn2", "h2gcn1"]
 
 
 def best_test_acc(path):
@@ -36,7 +45,9 @@ def collect(pattern):
     accs = {}
     for path in sorted(glob.glob(os.path.join(HERE, pattern))):
         name = os.path.basename(path)
-        m = re.match(r"(?:ours_|ref_train_|ref_)(h2gcn[12]_\w+?)(?:_s(\d+))?\.log$", name)
+        m = re.match(
+            r"(?:ours_|ref_train_|ref_)(h2gcn[12](?:_[a-z]+)?)(?:_s(\d+))?\.log$",
+            name)
         if not m:
             continue
         tag, seed = m.group(1), m.group(2) or "123"
@@ -68,16 +79,19 @@ def main():
     ref = collect(sys.argv[1] if len(sys.argv) > 1 else "ref_train_*.log")
     ours = collect(sys.argv[2] if len(sys.argv) > 2 else "ours/ours_*.log")
     criterion = 0.3  # BASELINE.md accuracy-parity bar (percentage points)
+    configs = [t for t in CONFIG_ORDER if t in ref or t in ours]
+    configs += sorted((set(ref) | set(ours)) - set(configs))
     print("| Config | Reference TF2 (mean±std) | h2gcn_tpu (mean±std) "
           "| Δ mean [95% CI] | abs(Δ)<0.3? |")
     print("|---|---|---|---|---|")
-    for tag in CONFIGS:
+    for tag in configs:
         rseeds, oseeds = ref.get(tag, {}), ours.get(tag, {})
         shared = sorted(set(rseeds) & set(oseeds))
         rv = [rseeds[s] for s in shared]
         ov = [oseeds[s] for s in shared]
         pretty = tag.replace("h2gcn1", "H2GCN-1").replace("h2gcn2", "H2GCN-2")
         pretty = pretty.replace("_cora", " Cora").replace("_citeseer", " Citeseer")
+        pretty = pretty.replace("_pubmed", " Pubmed")
         if not shared:
             print(f"| {pretty} | — | — | — | — |")
             continue
@@ -95,9 +109,9 @@ def main():
         else:
             ci, verdict = f"{dmean:+.2f}", "n<2"
         print(f"| {pretty} | {fmt(rv)} | {fmt(ov)} | {ci} | {verdict} |")
-    n = min(len(set(ref.get(t, {})) & set(ours.get(t, {}))) for t in CONFIGS)
+    n = min(len(set(ref.get(t, {})) & set(ours.get(t, {}))) for t in configs)
     seeds = sorted(set.intersection(*[set(ref.get(t, {})) & set(ours.get(t, {}))
-                                      for t in CONFIGS]), key=int)
+                                      for t in configs]), key=int)
     print(f"\nseeds per config: {n}  ({', '.join(seeds)})")
     print("criterion: PASS = whole 95% CI inside ±0.3pp; "
           "'pass (mean)' = mean inside, CI spills")
