@@ -70,15 +70,23 @@ def _auto_backend(n, m, nnz, coo, block_size, platform=None,
         # of heterophily graphs): the MXU matmul beats block-sparse
         return "dense"
     # BSR is only economical with real block occupancy: count the nonzero
-    # 128-blocks and refuse payloads that would dwarf the edge data (huge
-    # unclustered graphs) in favor of the payload-free COO-tile kernel
+    # 128-blocks. Measured niche (docs/bench_bsr_niche.json — 40K SBM,
+    # cluster-reordered, p_in sweep): in f32/HIGHEST mode BSR edges out
+    # cootile from ~90 nnz/block (248 vs 223 M e/s) and is 1.5-2.7x above
+    # 140; in bf16 cootile's densification stays ahead until ~250
+    # nnz/block (occ 138: cootile 633 vs bsr 489; occ 368: bsr 1302 vs
+    # 669; occ 1009: bsr 3467 vs 735). Below the crossover — or when the
+    # dense-block payload would dwarf the edge data — fall through to the
+    # payload-free ladder.
     ncb = -(-m // block_size)
     nb = np.unique(
         (coo.row // block_size).astype(np.int64) * ncb
         + coo.col // block_size
     ).size
     payload_bytes = nb * block_size * block_size * 4
-    if payload_bytes <= 4e9:
+    occ128 = nnz / max(nb, 1)
+    if payload_bytes <= 4e9 and occ128 >= (
+            90 if precision == "highest" else 250):
         return "bsr"
     # cootile vs gscatter at ultra-sparse occupancy — PRECISION-AWARE
     # (measured on the 1M-node 34M-nnz Â₂, workbench/probe_bigtile_1m.py +

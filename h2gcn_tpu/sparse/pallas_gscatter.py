@@ -57,6 +57,12 @@ class GScatterSegment:
     vals: jax.Array   # [nchunks, e_b] float32 (0 marks padding slots)
     rb_lo: int = struct.field(pytree_node=False)
     rb_hi: int = struct.field(pytree_node=False)
+    # global-slot range [slot_lo, slot_hi) this segment covers BEFORE its
+    # tail padding — lets callers scatter per-edge dynamic values (e.g.
+    # attention coefficients) into the uniform slot space and slice per
+    # segment (pallas_attention_gather.py)
+    slot_lo: int = struct.field(pytree_node=False, default=0)
+    slot_hi: int = struct.field(pytree_node=False, default=0)
 
 
 @struct.dataclass
@@ -85,14 +91,29 @@ def build_gscatter(csr, tile: int = 512, e_b: int = 128,
     import scipy.sparse as sp
 
     csr = sp.csr_matrix(csr)
-    n, m = csr.shape
-    n_rb = -(-n // tile)
     coo = csr.tocoo()
-    # CSR order: already sorted by row; group key = tile row
-    order = np.argsort(coo.row // tile, kind="stable")
-    r = coo.row[order].astype(np.int64)
-    c = coo.col[order].astype(np.int64)
-    v = coo.data[order].astype(np.float32)
+    return build_gscatter_coo(coo.row, coo.col, coo.data, csr.shape,
+                              tile=tile, e_b=e_b, kb=kb)
+
+
+def build_gscatter_coo(row, col, data, shape, tile: int = 512,
+                       e_b: int = 128, kb: int = _KB,
+                       return_slots: bool = False):
+    """:func:`build_gscatter` on raw COO arrays (any edge order).
+
+    With ``return_slots=True`` also returns ``slots`` — ``slots[k]`` is the
+    global edge-slot index of input edge ``k`` in the concatenated
+    (pre-padding) slot space, so callers can scatter per-edge DYNAMIC
+    values (attention coefficients) into position at trace time and slice
+    them per segment via ``slot_lo``/``slot_hi``.
+    """
+    n, m = shape
+    n_rb = -(-n // tile)
+    # group key = tile row (stable: preserves caller's within-row order)
+    order = np.argsort(np.asarray(row) // tile, kind="stable")
+    r = np.asarray(row)[order].astype(np.int64)
+    c = np.asarray(col)[order].astype(np.int64)
+    v = np.asarray(data)[order].astype(np.float32)
     grp = r // tile
 
     counts = np.bincount(grp, minlength=n_rb)           # edges per tile row
@@ -169,9 +190,17 @@ def build_gscatter(csr, tile: int = 512, e_b: int = 128,
             ctr=jnp.asarray(ctr_s), rows=jnp.asarray(rows_s),
             cols=jnp.asarray(cols_s), vals=jnp.asarray(vals_s),
             rb_lo=rb_lo, rb_hi=rb_hi,
+            slot_lo=cl * e_b, slot_hi=ch * e_b,
         ))
-    return GScatter(segments=tuple(segments), tile=tile, e_b=e_b, kb=kb,
-                    n_rows=n, n_cols=m)
+    gs = GScatter(segments=tuple(segments), tile=tile, e_b=e_b, kb=kb,
+                  n_rows=n, n_cols=m)
+    if not return_slots:
+        return gs
+    # slots[k] = global slot of INPUT edge k: `slot` is indexed by the
+    # tile-row-sorted position, so invert `order`
+    slots_in = np.empty(len(order), np.int64)
+    slots_in[order] = slot
+    return gs, slots_in
 
 
 def _make_kernel(tile, e_b, kb, exact):

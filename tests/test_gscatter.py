@@ -133,3 +133,40 @@ def test_auto_backend_ultra_sparse_ladder():
                          precision="highest") == "gscatter"
     assert _auto_backend(n, n, nnz, coo, 128, platform="tpu",
                          precision="default") == "cootile"
+
+
+def test_auto_backend_bsr_niche():
+    """Measured BSR niche (docs/bench_bsr_niche.json): feasible dense-block
+    payload + block occupancy past the precision-dependent crossover ->
+    bsr; below the bf16 crossover the same matrix routes to cootile."""
+    from h2gcn_tpu.sparse.matrix import _auto_backend
+
+    rng = np.random.default_rng(0)
+    # perfectly block-clustered matrix: 300 dense-ish 128-blocks on the
+    # diagonal of a 64K-node graph, ~1000 nnz per block (the p_in=1.0 SBM
+    # regime after cluster reorder)
+    n = 64_000
+    nb = 300
+    per = 1000
+    bi = rng.integers(0, nb, nb * per)
+    r = bi * 128 + rng.integers(0, 128, nb * per)
+    c = bi * 128 + rng.integers(0, 128, nb * per)
+    coo = sp.coo_matrix((np.ones(len(r), np.float32), (r, c)), shape=(n, n))
+    coo.sum_duplicates()
+    coo = coo.tocoo()
+    assert _auto_backend(n, n, coo.nnz, coo, 128, platform="tpu",
+                         precision="highest") == "bsr"
+    assert _auto_backend(n, n, coo.nnz, coo, 128, platform="tpu",
+                         precision="default") == "bsr"
+    # dilute to ~100 nnz/block: f32 keeps bsr, bf16 crosses to cootile
+    keep = rng.random(coo.nnz) < 0.105
+    coo2 = sp.coo_matrix((coo.data[keep], (coo.row[keep], coo.col[keep])),
+                         shape=(n, n))
+    occ = coo2.nnz / np.unique(
+        (coo2.row // 128).astype(np.int64) * (-(-n // 128))
+        + coo2.col // 128).size
+    assert 90 <= occ < 250, occ
+    assert _auto_backend(n, n, coo2.nnz, coo2, 128, platform="tpu",
+                         precision="highest") == "bsr"
+    assert _auto_backend(n, n, coo2.nnz, coo2, 128, platform="tpu",
+                         precision="default") == "cootile"
