@@ -169,7 +169,28 @@ class GATNetwork:
                                     training=training))
         feat = h_parts[0].shape[1]
         interpret = jax.default_backend() not in ("tpu", "gpu")
-        if getattr(adj, "attn", None) is not None:
+        from ..sparse.pallas_attention_gather import GatherAttn
+
+        if isinstance(getattr(adj, "attn", None), GatherAttn):
+            from ..sparse.pallas_attention_gather import gat_attention_gather
+
+            # α materializes per edge on this path, so coefficient dropout
+            # IS expressible (unlike the flash-style chunk kernels); one
+            # layer-folded key drives the [E, H] mask
+            drop_key = (jax.random.fold_in(rng, layer_idx * 1000 + 777)
+                        if rng is not None and training and self.attn_drop
+                        else None)
+            out = gat_attention_gather(
+                adj.attn,
+                jnp.stack(f1_parts, axis=1),
+                jnp.stack(f2_parts, axis=1),
+                jnp.concatenate(h_parts, axis=1),
+                num_heads=len(heads), feat=feat, n_out=x.shape[0],
+                interpret=interpret, precision=self.fused_precision,
+                attn_drop=self.attn_drop if training else 0.0,
+                drop_key=drop_key,
+            )
+        elif getattr(adj, "attn", None) is not None:
             from ..sparse.pallas_attention_coo import gat_attention_coo
 
             out = gat_attention_coo(
@@ -212,12 +233,17 @@ class GATNetwork:
         # the fused kernel carries a custom VJP (two-pass flash-style
         # backward), so it trains too; attention-coefficient dropout is the
         # one thing it cannot express (coefficients never materialize)
+        from ..sparse.pallas_attention_gather import GatherAttn
+
         use_fused = (
             self.fused_attention
             and (getattr(adj, "bsr", None) is not None
                  or getattr(adj, "attn", None) is not None)
             and capture is None
-            and (not training or self.attn_drop == 0)
+            and (not training or self.attn_drop == 0
+                 # the gather payload materializes α per edge, so
+                 # coefficient dropout trains through it
+                 or isinstance(getattr(adj, "attn", None), GatherAttn))
         )
         # NOTE (r3): the 16MB "VMEM operand budget" guard that used to live
         # here was a misdiagnosis — both kernels stream their tiles through
@@ -335,6 +361,14 @@ def add_subparser_args(parser):
                             "fused kernel: highest = 6-pass f32 (parity), "
                             "default = 1-pass bf16 w/ f32 accumulation "
                             "(~6x fewer MXU FLOPs, ~4e-3 rel err)")
+    group.add_argument("--attn_impl", default="auto",
+                       choices=["auto", "coo", "gather"],
+                       help="At-scale fused-attention payload when the BSR "
+                            "budget is exceeded: coo = flash-style COO-chunk "
+                            "kernel (dense chunk tiles), gather = edge-major "
+                            "SDDMM + gather-scatter combine (ultra-sparse "
+                            "graphs; also expresses --attn_drop). auto "
+                            "routes by chunk occupancy")
     group.add_argument("--optimizer", type=str, default="adam")
     group.add_argument("--no_feature_normalize", action="store_true")
     group.add_argument("--best_val_criteria", choices=["val_acc", "val_loss"],
@@ -384,15 +418,26 @@ def build_attention_support(dataset, nhood):
 _BSR_PAYLOAD_BUDGET_BYTES = 256 * 1024 * 1024
 
 
+# COO-chunk vs gather crossover: average edges per occupied (dest,src)
+# 256-tile pair. Below this the chunk kernel schedules mostly-empty edge
+# slots (5% occupancy at the 120K powerlaw graph ⇒ ~50× off its gather
+# floor, VERDICT r3 weak #4) and the edge-major gather path wins; above
+# it the flash-style fusion (no E-sized intermediates) wins. Measured:
+# workbench/bench_attn_scale.py / docs/bench_attn_scale.json.
+_ATTN_GATHER_MAX_OCC = 24.0
+
+
 def build_gat_adjacency(support, fused_attention: bool,
-                        block_size: int = 256):
+                        block_size: int = 256, attn_impl: str = "auto"):
     """Fused-path payload selection at construction time.
 
     Small graphs keep the dense-block BSR (fastest measured kernel at 10K:
     13.3 ms vs 40.1 at 128-blocks); graphs whose BSR payload would exceed
-    the budget carry COO-chunk tables (backend="attn") — O(nnz) instead of
-    O(tiles·B²), which reaches 56GB at 120K nodes. Both retain the full
-    COO arrays so the segment path runs off the same tensor."""
+    the budget carry O(nnz) tables instead — COO-chunk (backend="attn",
+    flash-style kernel) when the chunk tiles have real occupancy, or the
+    gather payload (edge-major SDDMM + gather-scatter combine) when they
+    don't. All retain the full COO arrays so the segment path runs off the
+    same tensor."""
     import scipy.sparse as _sp
 
     from ..sparse import SparseMatrix
@@ -402,12 +447,19 @@ def build_gat_adjacency(support, fused_attention: bool,
                                        block_size=128)
     coo = _sp.coo_matrix(support)
     ncb = -(-support.shape[1] // block_size)
-    nb = np.unique((coo.row // block_size).astype(np.int64) * ncb
-                   + coo.col // block_size).size
+    pair_keys = ((coo.row // block_size).astype(np.int64) * ncb
+                 + coo.col // block_size)
+    nb = np.unique(pair_keys).size
     payload = nb * block_size * block_size * 4
-    if payload > _BSR_PAYLOAD_BUDGET_BYTES:
+    # an EXPLICIT impl choice overrides the BSR budget route (useful for
+    # forcing the at-scale payloads on small graphs in tests/benches)
+    if attn_impl != "auto" or payload > _BSR_PAYLOAD_BUDGET_BYTES:
+        if attn_impl == "auto":
+            occ = coo.nnz / max(nb, 1)
+            attn_impl = "gather" if occ < _ATTN_GATHER_MAX_OCC else "coo"
         return SparseMatrix.from_scipy(support, backend="attn",
-                                       attn_tile=block_size)
+                                       attn_tile=block_size,
+                                       attn_impl=attn_impl)
     return SparseMatrix.from_scipy(support, backend="bsr",
                                    block_size=block_size)
 
@@ -421,7 +473,9 @@ def argparse_callback(args):
     # attention support replaces the raw adjacency in the tensor dict so it
     # flows into the jitted step as an argument
     support = build_attention_support(dataset, args.nhood)
-    tensors.adj = build_gat_adjacency(support, args.fused_attention)
+    tensors.adj = build_gat_adjacency(support, args.fused_attention,
+                                      attn_impl=getattr(args, "attn_impl",
+                                                        "auto"))
     args.objects["tensors"] = vars(tensors)
 
     model = GATNetwork(

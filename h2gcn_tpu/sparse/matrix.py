@@ -238,6 +238,7 @@ class SparseMatrix:
         precision: str = "highest",
         payload_dtype: str = "float32",
         attn_tile: int = 256,
+        attn_impl: str = "coo",
     ) -> "SparseMatrix":
         """Build from any scipy sparse matrix (host-side).
 
@@ -308,9 +309,14 @@ class SparseMatrix:
 
         attn = None
         if backend == "attn":
-            from .pallas_attention_coo import build_attn_coo
+            if attn_impl == "gather":
+                from .pallas_attention_gather import build_gatherattn
 
-            attn = build_attn_coo(csr, tile=attn_tile)
+                attn = build_gatherattn(csr)
+            else:
+                from .pallas_attention_coo import build_attn_coo
+
+                attn = build_attn_coo(csr, tile=attn_tile)
         gsc = None
         gsc_t = None
         if backend == "gscatter":

@@ -243,3 +243,66 @@ def test_fused_attention_coo_matches_segment():
                       jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
                                    rtol=1e-3, atol=1e-5)
+
+
+def test_fused_attention_gather_matches_segment():
+    """GAT apply through the gather-attention payload (backend='attn',
+    attn_impl='gather') == the segment-path eval, including grads; and
+    the fused path now TRAINS with attn_drop > 0 on this payload."""
+    import scipy.sparse as sp
+
+    from h2gcn_tpu.models.GAT import GATNetwork
+    from h2gcn_tpu.sparse import SparseMatrix
+
+    n = 700
+    rng = np.random.default_rng(0)
+    r = rng.integers(0, n, 2500)
+    c = rng.integers(0, n, 2500)
+    a = sp.csr_matrix((np.ones(r.size, np.float32), (r, c)), shape=(n, n))
+    a = ((a + a.T + sp.eye(n)) > 0).astype(np.float32)
+    adj_ga = SparseMatrix.from_scipy(a.tocsr(), backend="attn",
+                                     attn_impl="gather")
+    from h2gcn_tpu.sparse.pallas_attention_gather import GatherAttn
+
+    assert isinstance(adj_ga.attn, GatherAttn)
+    adj_seg = SparseMatrix.from_scipy(a.tocsr(), backend="segment")
+
+    model = GATNetwork(5, hid_units=[8], n_heads=[4, 1],
+                       fused_attention=True, attn_drop=0.0)
+    params = model.init(jax.random.PRNGKey(0), 16, 1)
+    x = jnp.asarray(rng.normal(size=(n, 16)), jnp.float32)
+    fused = model.apply(params, adj_ga, x, [], training=False)
+    model.fused_attention = False
+    unfused = model.apply(params, adj_seg, x, [], training=False)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(unfused),
+                               rtol=1e-4, atol=1e-5)
+
+    y = jax.nn.one_hot(jnp.asarray(rng.integers(0, 5, n)), 5)
+    mask = jnp.asarray(rng.random(n) < 0.3)
+
+    def loss(p, adj, m):
+        model.fused_attention = m
+        logits = model.apply(p, adj, x, [], training=False)
+        return model.loss(p, logits, y, mask)
+
+    g1 = jax.grad(loss)(params, adj_ga, True)
+    g2 = jax.grad(loss)(params, adj_seg, False)
+    for a1, a2 in zip(jax.tree_util.tree_leaves(g1),
+                      jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
+                                   rtol=1e-3, atol=1e-5)
+
+    # attention-coefficient dropout trains through the gather payload
+    # (the chunk kernels must fall back to the segment path here)
+    model.fused_attention = True
+    model.attn_drop = 0.5
+
+    def loss_drop(p):
+        logits = model.apply(p, adj_ga, x, [], training=True,
+                             rng=jax.random.PRNGKey(7))
+        return model.loss(p, logits, y, mask)
+
+    val, grads = jax.value_and_grad(loss_drop)(params)
+    assert np.isfinite(float(val))
+    assert all(np.all(np.isfinite(np.asarray(g)))
+               for g in jax.tree_util.tree_leaves(grads))
