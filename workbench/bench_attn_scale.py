@@ -1,13 +1,20 @@
-"""Large-graph fused GAT attention benchmark: COO-chunk kernel vs segment.
+"""Large-graph fused GAT attention benchmark: gather vs COO-chunk vs segment.
 
-VERDICT r2 item 1: the fused path must work (and win) at 120K nodes, a
-scale where the BSR payload is infeasible (~56GB) and the reference SpGAT
-(baselines/GAT/utils/layers.py:53-100) relies on scatter ops this hardware
-serializes. Measures:
+VERDICT r2 item 1 + r3 task 1: the fused path must work (and win) at 120K
+nodes, a scale where the BSR payload is infeasible (~56GB) and the
+reference SpGAT (baselines/GAT/utils/layers.py:53-100) relies on scatter
+ops this hardware serializes. Measures:
 
+  * gather attention (pallas_attention_gather: edge-major SDDMM + segment
+    softmax + gscatter combine — the ultra-sparse rung), both precisions,
+    fwd and fwd+bwd — chained-dispatch timing, WITH rooflines: the random
+    -gather component is charged at the measured ~43GB/s random stream
+    (the gscatter study's constant), everything streaming at HBM rate
   * COO-chunk fused kernel (precision="highest" parity mode and "default"
     bf16 head contractions), fwd and fwd+bwd — chained-dispatch timing
-    (bench.py interleaved_timeit)
+    (bench.py interleaved_timeit), with the same roofline model (its slot
+    streams are sequential, but it pays one 256-wide f2/h tile DMA per
+    chunk — at ~5% occupancy that dominates)
   * segment composition (models/GAT.py unfused math), fwd and fwd+bwd —
     plain wall-time (it runs SECONDS per call; the ~30ms relay sync is
     noise at that scale), wrapped per-call: at 120K the segment program
@@ -30,13 +37,19 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import jax
 import jax.numpy as jnp
 
-from bench import _block, build_graph, interleaved_timeit
+from bench import _block, build_graph, interleaved_timeit, tpu_hbm_bw
 from h2gcn_tpu.models.GAT import segment_softmax
 from h2gcn_tpu.sparse import SparseMatrix, transforms
 from h2gcn_tpu.sparse.pallas_attention_coo import (build_attn_coo,
                                                    gat_attention_coo)
+from h2gcn_tpu.sparse.pallas_attention_gather import (build_gatherattn,
+                                                      gat_attention_gather)
 
 H, F = 8, 8
+# measured random-access gather stream on this v5e (gscatter ultra-sparse
+# study, docs/BENCHMARKS.md): XLA row gathers sustain ~43GB/s vs ~810GB/s
+# sequential
+_RAND_BW = 43e9
 
 
 def run_one(N, M):
@@ -89,12 +102,45 @@ def run_one(N, M):
     fwd_hi, fwd_df = coo_fwd("highest"), coo_fwd("default")
     step_hi, step_df = coo_step("highest"), coo_step("default")
 
+    t0 = time.time()
+    ga = build_gatherattn(support)
+    t_ga_build = time.time() - t0
+    ga_slots = ga.total_slots_fwd
+    print(f"gatherattn build: {t_ga_build:.1f}s, slots={ga_slots} "
+          f"(occupancy {support.nnz / ga_slots:.2f}); coo-chunk slots="
+          f"{ac.num_chunks * ac.e_b} "
+          f"(occupancy {support.nnz / (ac.num_chunks * ac.e_b):.3f})",
+          flush=True)
+
+    def ga_fwd(precision):
+        @jax.jit
+        def fn(ga, f1, f2, h):
+            return gat_attention_gather(ga, f1, f2, h, num_heads=H, feat=F,
+                                        n_out=N, precision=precision)
+        return fn
+
+    def ga_step(precision):
+        @jax.jit
+        def fn(ga, f1, f2, h):
+            return jax.grad(lambda *x: jnp.sum(gat_attention_gather(
+                ga, *x, num_heads=H, feat=F, n_out=N,
+                precision=precision) ** 2), (0, 1, 2))(f1, f2, h)
+        return fn
+
+    gfwd_hi, gfwd_df = ga_fwd("highest"), ga_fwd("default")
+    gstep_hi, gstep_df = ga_step("highest"), ga_step("default")
+
     out = {"n": N, "m_edges": M, "nnz": int(support.nnz),
            "heads": H, "feat": F, "tile": ac.tile, "e_b": ac.e_b,
            "chunks": ac.num_chunks, "build_s": round(t_build, 2),
+           "gather_build_s": round(t_ga_build, 2),
+           "gather_slots": int(ga_slots),
+           "gather_slot_occupancy": round(support.nnz / ga_slots, 3),
+           "coo_slot_occupancy": round(
+               support.nnz / (ac.num_chunks * ac.e_b), 4),
            "times_s": {}}
 
-    # --- fused path first: chained-dispatch timing. A faulting segment
+    # --- fused paths first: chained-dispatch timing. A faulting segment
     # program leaves the device client UNAVAILABLE for the rest of the
     # process (observed at 120K), so the fused numbers must land before
     # the segment path is attempted.
@@ -103,11 +149,57 @@ def run_one(N, M):
         "coo_fwd_default": lambda: fwd_df(ac, f1, f2, h),
         "coo_fwdbwd_highest": lambda: step_hi(ac, f1, f2, h),
         "coo_fwdbwd_default": lambda: step_df(ac, f1, f2, h),
+        "gather_fwd_highest": lambda: gfwd_hi(ga, f1, f2, h),
+        "gather_fwd_default": lambda: gfwd_df(ga, f1, f2, h),
+        "gather_fwdbwd_highest": lambda: gstep_hi(ga, f1, f2, h),
+        "gather_fwdbwd_default": lambda: gstep_df(ga, f1, f2, h),
     }, rounds=3, iters=2, warmup=1)
     for k, v in res.items():
         out["times_s"][k] = round(v[0], 5)
     o_hi = fwd_hi(ac, f1, f2, h)
     o_df = fwd_df(ac, f1, f2, h)
+    og_hi = gfwd_hi(ga, f1, f2, h)
+    out["gather_vs_coo_max_abs_err"] = float(jnp.max(jnp.abs(og_hi - o_hi)))
+    print(f"gather-hi vs coo-hi max err: "
+          f"{out['gather_vs_coo_max_abs_err']:.2e}", flush=True)
+
+    # --- rooflines: random-access bytes at the measured ~43GB/s random
+    # stream, everything sequential at HBM rate. Both fused paths get a
+    # frac_of_sol like every SpMM row has (VERDICT r3 task 1).
+    bw, gen = tpu_hbm_bw()
+    out["tpu_generation"] = gen
+    E = support.nnz
+    hf_b = H * F * 4          # one projected-feature row, f32
+    f_pad = 128 * 4           # lane-padded row the combine actually moves
+    for tag, xb in (("highest", 4), ("default", 2)):
+        fp = 128 * xb
+        # gather fwd: logits (2 scalar-row gathers of 32B/edge) + combine
+        # (one f_pad row gather per slot) are random; gathered/weighted
+        # writes + kernel read + tables + output flush stream.
+        rand = E * 2 * (H * 4) + ga_slots * fp
+        seq = (ga_slots * fp * 2          # gathered write + kernel read
+               + ga_slots * (4 * H)      # alpha slot scatter write
+               + E * (H * 4) * 6         # logit/softmax edge streams
+               + ga_slots * 12           # rows/vals tables
+               + N * f_pad)              # output flush (f32)
+        out.setdefault("roofline", {})[f"gather_fwd_{tag}"] = {
+            "sol_ms": round((rand / _RAND_BW + seq / bw) * 1e3, 2),
+            "achieved_ms": round(out["times_s"][f"gather_fwd_{tag}"] * 1e3,
+                                 2),
+            "frac_of_sol": round(
+                (rand / _RAND_BW + seq / bw)
+                / out["times_s"][f"gather_fwd_{tag}"], 3),
+        }
+        # coo-chunk fwd: per chunk one 256-wide f2 tile + one h tile DMA
+        # (sequential), plus edge tables; slots are mostly padding.
+        coo_seq = (ac.num_chunks * ac.tile * (H * 4 + H * F * 4)
+                   + ac.num_chunks * ac.e_b * 12 + N * f_pad)
+        out["roofline"][f"coo_fwd_{tag}"] = {
+            "sol_ms": round(coo_seq / bw * 1e3, 2),
+            "achieved_ms": round(out["times_s"][f"coo_fwd_{tag}"] * 1e3, 2),
+            "frac_of_sol": round(
+                (coo_seq / bw) / out["times_s"][f"coo_fwd_{tag}"], 3),
+        }
 
     # --- segment path last: plain wall time, failure-tolerant. The
     # cross-check runs immediately after segment_fwd because a later
@@ -146,6 +238,10 @@ def run_one(N, M):
     if isinstance(ts.get("segment_fwdbwd"), float):
         out["speedup_fwdbwd_default"] = round(
             ts["segment_fwdbwd"] / ts["coo_fwdbwd_default"], 1)
+    out["gather_vs_coo_fwdbwd_default"] = round(
+        ts["coo_fwdbwd_default"] / ts["gather_fwdbwd_default"], 2)
+    out["gather_vs_coo_fwd_default"] = round(
+        ts["coo_fwd_default"] / ts["gather_fwd_default"], 2)
     print(json.dumps(out, indent=2), flush=True)
     return out
 
