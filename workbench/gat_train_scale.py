@@ -6,8 +6,11 @@ TPU runtime outright at 120K — docs/bench_attn_scale.json — and its
 published runs stop at pubmed, 19.7K). Builds a 120K-node power-law
 SparseGraph npz (64-dim random features, 8 classes, 2% train split),
 then trains GAT --fused_attention end to end via run_experiments —
-adjacency routing, COO-chunk kernel fwd+bwd, Adam, early-stopping
-machinery, checkpointing all on the production path.
+adjacency routing (auto picks the gather payload at this occupancy since
+r4; --attn_impl coo forces the chunk kernel), fused fwd+bwd, Adam,
+early-stopping machinery, checkpointing all on the production path.
+--timing forces jax.block_until_ready since r4, so median_ms_per_epoch
+is honest device time + one relay RTT (~26-30ms), not dispatch-ack.
 
 Appends the timing block to docs/bench_attn_scale.json.
 
