@@ -149,7 +149,7 @@ class GATNetwork:
         return out
 
     def _fused_layer(self, heads, x, adj, *, training, rng, layer_idx,
-                 residual=False):
+                 residual=False, capture_alpha=None):
         """All heads of one layer through the fused Pallas attention kernel."""
         from ..nn.ops import dropout as _dropout
 
@@ -190,6 +190,17 @@ class GATNetwork:
                 attn_drop=self.attn_drop if training else 0.0,
                 drop_key=drop_key,
             )
+            if capture_alpha is not None:
+                # α exists as a per-edge tensor here — the at-scale capture
+                # path (the unfused segment composition faults past ~100K
+                # nodes on this runtime); [E, H] → [H, E] like the unfused
+                # per-head stack
+                from ..sparse.pallas_attention_gather import (
+                    gather_attention_coefficients)
+
+                capture_alpha.append(gather_attention_coefficients(
+                    adj.attn, jnp.stack(f1_parts, axis=1),
+                    jnp.stack(f2_parts, axis=1)).T)
         elif getattr(adj, "attn", None) is not None:
             from ..sparse.pallas_attention_coo import gat_attention_coo
 
@@ -235,15 +246,16 @@ class GATNetwork:
         # one thing it cannot express (coefficients never materialize)
         from ..sparse.pallas_attention_gather import GatherAttn
 
+        is_gather = isinstance(getattr(adj, "attn", None), GatherAttn)
         use_fused = (
             self.fused_attention
             and (getattr(adj, "bsr", None) is not None
                  or getattr(adj, "attn", None) is not None)
-            and capture is None
-            and (not training or self.attn_drop == 0
-                 # the gather payload materializes α per edge, so
-                 # coefficient dropout trains through it
-                 or isinstance(getattr(adj, "attn", None), GatherAttn))
+            # the gather payload materializes α per edge, so BOTH
+            # coefficient dropout and coefficient capture work fused
+            # (the chunk/BSR kernels must fall back to the segment path)
+            and (capture is None or is_gather)
+            and (not training or self.attn_drop == 0 or is_gather)
         )
         # NOTE (r3): the 16MB "VMEM operand budget" guard that used to live
         # here was a misdiagnosis — both kernels stream their tiles through
@@ -258,11 +270,14 @@ class GATNetwork:
             if use_fused:
                 outs = self._fused_layer(heads, h, adj, training=training,
                                          rng=rng, layer_idx=li,
-                                         residual=layer_residual)
+                                         residual=layer_residual,
+                                         capture_alpha=all_alphas)
                 if li < n_layers - 1:
                     h = jnp.concatenate([jax.nn.elu(o) for o in outs], axis=1)
                 else:
                     h = sum(outs) / len(outs)
+                if capture is not None:
+                    capture[f"activations/{li}-gat"] = h
                 continue
             outs = []
             layer_alphas = [] if capture is not None else None

@@ -146,3 +146,43 @@ def test_gather_attention_bf16_mode_close():
     err = np.abs(np.asarray(hi) - np.asarray(lo)).max() / np.abs(
         np.asarray(hi)).max()
     assert err < 2e-2, err
+
+
+def test_gather_capture_matches_unfused():
+    """Coefficient capture through the fused gather path == the unfused
+    segment path's per-head alphas (first nnz entries; the segment arrays
+    carry a padding tail)."""
+    from h2gcn_tpu.models.GAT import GATNetwork
+    from h2gcn_tpu.sparse import SparseMatrix
+
+    n = 200
+    rng = np.random.default_rng(6)
+    r = rng.integers(0, n, 800)
+    c = rng.integers(0, n, 800)
+    a = sp.csr_matrix((np.ones(800, np.float32), (r, c)), shape=(n, n))
+    a = ((a + a.T + sp.eye(n)) > 0).astype(np.float32)
+    adj_ga = SparseMatrix.from_scipy(a.tocsr(), backend="attn",
+                                     attn_impl="gather")
+    adj_seg = SparseMatrix.from_scipy(a.tocsr(), backend="segment")
+
+    model = GATNetwork(5, hid_units=[8], n_heads=[3, 1],
+                       fused_attention=True, attn_drop=0.0)
+    params = model.init(jax.random.PRNGKey(0), 12, 1)
+    x = jnp.asarray(rng.normal(size=(n, 12)), jnp.float32)
+
+    cap_f = {}
+    model.apply(params, adj_ga, x, [], training=False, capture=cap_f)
+    alphas_f = model.last_attn_coefs  # list of [H, E]
+    model.fused_attention = False
+    cap_u = {}
+    model.apply(params, adj_seg, x, [], training=False, capture=cap_u)
+    alphas_u = model.last_attn_coefs  # list of [H, E_pad]
+
+    nnz = adj_ga.nnz
+    assert len(alphas_f) == len(alphas_u) == 2
+    for af, au in zip(alphas_f, alphas_u):
+        np.testing.assert_allclose(np.asarray(af), np.asarray(au)[:, :nnz],
+                                   rtol=1e-5, atol=1e-6)
+    for k in cap_u:
+        np.testing.assert_allclose(np.asarray(cap_f[k]), np.asarray(cap_u[k]),
+                                   rtol=1e-4, atol=1e-5)
