@@ -45,9 +45,13 @@ import numpy as np
 from flax import struct
 
 F_TILE = 128
-_K = 8  # default chunks per grid step (kb); auto_geometry picks 8/16/32
+_K = 8  # default chunks per grid step (kb); auto_geometry picks 8-64
 _MAX_CHUNKS = 64 * 1024  # scalar-prefetch budget: 8B/chunk, SMEM ~1MB
-_VMEM_BUDGET = 12 * 1024 * 1024  # auto_geometry's conservative cap
+# auto_geometry's slot-operand cap: 18MB admits the measured-best
+# (512,128,kb=64)/bf16 at 17.3MB (250K ceiling probe, +2.5% over kb=32 —
+# docs/bench_cootile_ceiling.json) while keeping untested >30MB corners
+# (f32 kb=64 at t=512) out of the grid
+_VMEM_BUDGET = 18 * 1024 * 1024
 # hard scoped-VMEM ceiling passed to the compiler: the v5e has 128MB
 # physical VMEM; the 16MB default is what historically blocked >2048
 # tiles (mis-read as a hardware limit in r2 — see pallas_attention_coo)
@@ -163,7 +167,7 @@ def _geo_cache_store(key, val):
 def auto_geometry(csr, f: int = 64, dtype: str = "bf16",
                   tile_cands=(256, 512, 1024, 2048),
                   e_b_cands=(128, 256, 512),
-                  kb_cands=(8, 16, 32)) -> Tuple[int, int, int]:
+                  kb_cands=(8, 16, 32, 64)) -> Tuple[int, int, int]:
     """Pick ``(tile, e_b, kb)`` minimizing a two-roof cost model.
 
     Results persist on disk keyed by the matrix signature
@@ -415,7 +419,7 @@ def build_cootile(csr, tile: int | None = None, e_b: int | None = None,
         # explicit tile, no kb: deepest block whose double-buffered slot
         # x tiles stay inside the VMEM budget (step cost amortizes ~kb x)
         xbytes = 2 if dtype == "bf16" else 4
-        kb = max((k for k in (8, 16, 32)
+        kb = max((k for k in (8, 16, 32, 64)
                   if k * tile * F_TILE * xbytes * 2
                   + 2 * tile * F_TILE * 4 <= _VMEM_BUDGET), default=8)
     ctr, ctc, rows, cols, vals, _, e_b = build_chunk_tables(csr, tile, e_b,

@@ -78,11 +78,15 @@ def test_cootile_deep_blocks_match_scipy(kb):
 
 def test_auto_kb_respects_vmem_budget():
     """f32 slot tiles are twice bf16's, so the same tile gets a shallower
-    auto block; tile=2048 only ever fits kb=8 in bf16."""
+    auto block. Budget is 18MB since r4 (the 250K ceiling probe measured
+    every newly admitted deeper-kb corner faster: bf16 t512 kb64 +2.5%,
+    f32 t512 kb32 +2%, bf16 t2048 kb16 +15% — docs/bench_cootile_ceiling
+    .json + workbench probe log)."""
     a = _rand(4000, 4000, 0.002, 5)
-    assert build_cootile(a, tile=512, e_b=128, dtype="bf16").kb == 32
-    assert build_cootile(a, tile=512, e_b=128, dtype="f32").kb == 16
-    assert build_cootile(a, tile=2048, e_b=128, dtype="bf16").kb == 8
+    assert build_cootile(a, tile=512, e_b=128, dtype="bf16").kb == 64
+    assert build_cootile(a, tile=512, e_b=128, dtype="f32").kb == 32
+    assert build_cootile(a, tile=2048, e_b=128, dtype="bf16").kb == 16
+    assert build_cootile(a, tile=2048, e_b=128, dtype="f32").kb == 8
 
 
 def test_cootile_manual_dma_mode_matches_scipy(monkeypatch):
@@ -211,8 +215,10 @@ def test_auto_geometry_two_roof_model():
     sat.sum_duplicates()
     # compute-bound: smallest tile; dense tiles: big chunks (the per-chunk
     # overhead term penalizes padding-light tiny chunks too); small tile
-    # leaves VMEM room for the deepest 32-chunk block
-    assert auto_geometry(sat, dtype="bf16") == (256, 512, 32)
+    # leaves VMEM room for the deepest 64-chunk block (kb=64 entered the
+    # candidate grid in r4 after the 250K ceiling probe measured it +2.5%
+    # over kb=32 — docs/bench_cootile_ceiling.json)
+    assert auto_geometry(sat, dtype="bf16") == (256, 512, 64)
 
     n2 = 100_000
     r2 = rng.integers(0, n2, 30_000)
