@@ -67,6 +67,13 @@ class GatherAttn:
     cols: jax.Array       # [E] int32 src node per edge
     slot_fwd: jax.Array   # [E] int32
     slot_bwd: jax.Array   # [E] int32
+    # inverse maps: slot → edge index, padding slots → E (a sentinel row
+    # of zeros appended to α at trace time). Filling the slot space is a
+    # GATHER through these — XLA lowers the equivalent [E]→[slots]
+    # .at[].set scatter ~40× slower (121 ms vs ~3 at 120K,
+    # docs/bench_attn_parts.json)
+    slot2edge_fwd: jax.Array  # [total_slots_fwd] int32
+    slot2edge_bwd: jax.Array  # [total_slots_bwd] int32
     n: int = struct.field(pytree_node=False, default=0)
     num_edges: int = struct.field(pytree_node=False, default=0)
 
@@ -97,12 +104,23 @@ def build_gatherattn(csr, tile: int = 512, e_b: int = 128,
                                       e_b=e_b, kb=kb, return_slots=True)
     gs_b, slot_b = build_gscatter_coo(c, r, ones, (n, n), tile=tile,
                                       e_b=e_b, kb=kb, return_slots=True)
+    E = len(r)
+
+    def inv(slots, total):
+        s2e = np.full(total, E, np.int32)  # padding → sentinel zero row
+        s2e[slots] = np.arange(E, dtype=np.int32)
+        return jnp.asarray(s2e)
+
+    tot_f = max(s.slot_hi for s in gs_f.segments)
+    tot_b = max(s.slot_hi for s in gs_b.segments)
     return GatherAttn(
         fwd=gs_f, bwd=gs_b,
         rows=jnp.asarray(r, jnp.int32), cols=jnp.asarray(c, jnp.int32),
         slot_fwd=jnp.asarray(slot_f, jnp.int32),
         slot_bwd=jnp.asarray(slot_b, jnp.int32),
-        n=n, num_edges=len(r),
+        slot2edge_fwd=inv(slot_f, tot_f),
+        slot2edge_bwd=inv(slot_b, tot_b),
+        n=n, num_edges=E,
     )
 
 
@@ -141,11 +159,14 @@ def _weighted_combine(gs: GScatter, aw: jax.Array, xp: jax.Array,
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
 
-def _scatter_alpha(slot: jax.Array, alpha: jax.Array,
-                   total: int) -> jax.Array:
-    """[E, H] per-edge values → [total_slots, H] padded slot space."""
-    return jnp.zeros((total, alpha.shape[1]), alpha.dtype).at[slot].set(
-        alpha, unique_indices=True, indices_are_sorted=False)
+def _scatter_alpha(slot2edge: jax.Array, alpha: jax.Array) -> jax.Array:
+    """[E, H] per-edge values → [total_slots, H] padded slot space, as a
+    GATHER through the precomputed inverse map (padding slots read the
+    appended zero row). The direct ``.at[slot].set`` scatter lowers ~40×
+    slower on this hardware (docs/bench_attn_parts.json)."""
+    az = jnp.concatenate(
+        [alpha, jnp.zeros((1, alpha.shape[1]), alpha.dtype)], axis=0)
+    return az[slot2edge]
 
 
 def _make_combine(ga: GatherAttn, num_heads: int, feat: int, exact: bool,
@@ -165,7 +186,7 @@ def _make_combine(ga: GatherAttn, num_heads: int, feat: int, exact: bool,
 
     @jax.custom_vjp
     def combine(alpha, h):
-        aw = _scatter_alpha(ga.slot_fwd, alpha, ga.total_slots_fwd)
+        aw = _scatter_alpha(ga.slot2edge_fwd, alpha)
         out = _weighted_combine(ga.fwd, aw, _prep_x(h), num_heads, feat,
                                 exact, interpret)
         return out[: ga.n, :hf]
@@ -177,7 +198,7 @@ def _make_combine(ga: GatherAttn, num_heads: int, feat: int, exact: bool,
         alpha, h = res
         gf = g.astype(jnp.float32)
         # dh = (Aα)ᵀ @ g: same α, transpose tables (edges grouped by src)
-        aw_b = _scatter_alpha(ga.slot_bwd, alpha, ga.total_slots_bwd)
+        aw_b = _scatter_alpha(ga.slot2edge_bwd, alpha)
         dh = _weighted_combine(ga.bwd, aw_b, _prep_x(gf), num_heads, feat,
                                exact, interpret)[: ga.n, :hf]
         # dα_e[h] = g[row_e, h·feat:..] · hproj[col_e, h·feat:..] — an

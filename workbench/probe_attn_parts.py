@@ -38,6 +38,7 @@ print(f"backend={jax.default_backend()} n={N} m={M}", flush=True)
 A = build_graph(N, M, seed=0)
 support = transforms.add_eye(A).tocsr()
 ga = pag.build_gatherattn(support)
+print("built", flush=True)
 E = ga.num_edges
 
 rng = np.random.default_rng(0)
@@ -51,12 +52,13 @@ def softmax_only(ga, f1, f2):
     return pag.gather_attention_coefficients(ga, f1, f2)
 
 
-alpha = softmax_only(ga, f1, f2)
+alpha = jax.block_until_ready(softmax_only(ga, f1, f2))
+print("softmax compiled", flush=True)
 
 
 @jax.jit
 def scatter_only(ga, alpha):
-    return pag._scatter_alpha(ga.slot_fwd, alpha, ga.total_slots_fwd)
+    return pag._scatter_alpha(ga.slot2edge_fwd, alpha)
 
 
 def combine_fn(precision):
@@ -80,6 +82,14 @@ def full_fn(precision):
 
 comb_hi, comb_df = combine_fn("highest"), combine_fn("default")
 full_hi, full_df = full_fn("highest"), full_fn("default")
+
+for nm, fn in (("scatter", lambda: scatter_only(ga, alpha)),
+               ("comb_hi", lambda: comb_hi(ga, alpha, h)),
+               ("comb_df", lambda: comb_df(ga, alpha, h)),
+               ("full_hi", lambda: full_hi(ga, f1, f2, h)),
+               ("full_df", lambda: full_df(ga, f1, f2, h))):
+    jax.block_until_ready(fn())
+    print(nm, "compiled", flush=True)
 
 res = interleaved_timeit({
     "softmax_only": lambda: softmax_only(ga, f1, f2),
