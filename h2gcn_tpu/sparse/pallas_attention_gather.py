@@ -169,6 +169,108 @@ def _scatter_alpha(slot2edge: jax.Array, alpha: jax.Array) -> jax.Array:
     return az[slot2edge]
 
 
+def _weighted_combine_aug(gs: GScatter, awf: jax.Array, awl: jax.Array,
+                          xp_aug: jax.Array, num_heads: int, feat: int,
+                          exact: bool, interpret: bool) -> jax.Array:
+    """Augmented combine: per head, ``feat`` feature columns weighted by
+    ``awf`` plus ONE trailing ones-column weighted by ``awl`` — so a
+    single kernel pass yields both the softmax numerator and the
+    denominator ``l_i = Σ_e p_e`` (the ones-column output). ``awf``/
+    ``awl`` are [total_slots, H]; they differ only under attention
+    dropout (numerator masked, denominator not)."""
+    f1p = feat + 1
+    f_pad = xp_aug.shape[1]
+    parts = []
+    tok = None
+    for seg in gs.segments:
+        if tok is not None:
+            (xp_seg, af, al), _ = jax.lax.optimization_barrier(
+                ((xp_aug, awf, awl), tok))
+        else:
+            xp_seg, af, al = xp_aug, awf, awl
+        gathered = xp_seg[seg.cols]
+        sl = slice(seg.slot_lo, seg.slot_hi)
+        af = af[sl]
+        al = al[sl]
+        pad = seg.cols.shape[0] - (seg.slot_hi - seg.slot_lo)
+        if pad:
+            af = jnp.pad(af, ((0, pad), (0, 0)))
+            al = jnp.pad(al, ((0, pad), (0, 0)))
+        ns = af.shape[0]
+        w = jnp.concatenate(
+            [jnp.repeat(af, feat, axis=1).reshape(ns, num_heads, feat),
+             al[:, :, None]], axis=2).reshape(ns, num_heads * f1p)
+        if f_pad != num_heads * f1p:
+            w = jnp.pad(w, ((0, 0), (0, f_pad - num_heads * f1p)))
+        weighted = gathered * w.astype(gathered.dtype)
+        fn = _seg_fn(int(seg.ctr.shape[0]), seg.rb_hi - seg.rb_lo, gs.tile,
+                     gs.e_b, gs.kb, f_pad, exact, interpret)
+        out_seg = fn(seg.ctr, seg.rows, seg.vals, weighted)
+        parts.append(out_seg)
+        tok = out_seg[0, 0]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+
+def _make_combine_aug(ga: GatherAttn, num_heads: int, feat: int,
+                      exact: bool, interpret: bool):
+    """custom-VJP augmented combine: ``(wf, wl, h) → [n, H·(feat+1)]``
+    (numerator slices + denominator column per head). Backward: dh rides
+    the transpose tables in the ORIGINAL layout, dwf is an edge-major
+    SDDMM over the feature slices, dwl is a plain row gather of the
+    denominator-column cotangent."""
+    hf = num_heads * feat
+    f1p = feat + 1
+    hf1 = num_heads * f1p
+    f_pad_aug = max(F_TILE, -(-hf1 // F_TILE) * F_TILE)
+    f_pad = max(F_TILE, -(-hf // F_TILE) * F_TILE)
+
+    def _prep(x, width):
+        xp = x.astype(jnp.float32)
+        if width != xp.shape[1]:
+            xp = jnp.pad(xp, ((0, 0), (0, width - xp.shape[1])))
+        if not exact:
+            xp = xp.astype(jnp.bfloat16)
+        return xp
+
+    def _aug(h):
+        n = h.shape[0]
+        return jnp.concatenate(
+            [h.astype(jnp.float32).reshape(n, num_heads, feat),
+             jnp.ones((n, num_heads, 1), jnp.float32)],
+            axis=2).reshape(n, hf1)
+
+    @jax.custom_vjp
+    def combine(wf, wl, h):
+        awf = _scatter_alpha(ga.slot2edge_fwd, wf)
+        awl = _scatter_alpha(ga.slot2edge_fwd, wl)
+        out = _weighted_combine_aug(ga.fwd, awf, awl,
+                                    _prep(_aug(h), f_pad_aug),
+                                    num_heads, feat, exact, interpret)
+        return out[: ga.n, :hf1]
+
+    def combine_fwd(wf, wl, h):
+        return combine(wf, wl, h), (wf, wl, h)
+
+    def combine_bwd(res, g):
+        wf, wl, h = res
+        gf = g.astype(jnp.float32).reshape(-1, num_heads, f1p)
+        g_feat = gf[..., :feat].reshape(-1, hf)
+        g_l = gf[..., feat]                       # [n, H]
+        aw_b = _scatter_alpha(ga.slot2edge_bwd, wf)
+        dh = _weighted_combine(ga.bwd, aw_b, _prep(g_feat, f_pad),
+                               num_heads, feat, exact,
+                               interpret)[: ga.n, :hf]
+        gg = g_feat[ga.rows].reshape(ga.num_edges, num_heads, feat)
+        gh = h.astype(jnp.float32)[ga.cols].reshape(
+            ga.num_edges, num_heads, feat)
+        dwf = jnp.sum(gg * gh, axis=-1)
+        dwl = g_l[ga.rows]
+        return dwf, dwl, dh.astype(h.dtype)
+
+    combine.defvjp(combine_fwd, combine_bwd)
+    return combine
+
+
 def _make_combine(ga: GatherAttn, num_heads: int, feat: int, exact: bool,
                   interpret: bool):
     """custom-VJP combine: out[n, H*feat] from per-edge α [E, H] and
@@ -226,22 +328,36 @@ def gat_attention_gather(ga: GatherAttn, f1, f2, h, *, num_heads: int,
     coefficients never materialize."""
     exact = precision == "highest"
     rows, cols = ga.rows, ga.cols
+    f1f, f2f = f1.astype(jnp.float32), f2.astype(jnp.float32)
     # SDDMM: per-edge logits from per-node scalars
-    logit = f1.astype(jnp.float32)[rows] + f2.astype(jnp.float32)[cols]
+    logit = f1f[rows] + f2f[cols]
     logit = jnp.where(logit >= 0, logit, slope * logit)
-    # numerically-stable per-destination softmax over the CSR-sorted edges
-    m = jax.ops.segment_max(logit, rows, num_segments=ga.n,
-                            indices_are_sorted=True)
-    m = jax.lax.stop_gradient(m)
-    p = jnp.exp(logit - m[rows])
-    l = jax.ops.segment_sum(p, rows, num_segments=ga.n,
-                            indices_are_sorted=True)
-    alpha = p / l[rows]
+    # Stability shift WITHOUT a segment max: softmax is invariant to any
+    # per-row shift, so use the per-destination UPPER BOUND
+    # b_i = LRelu(f1_i + max_j f2_j) (LeakyReLU is monotone; the max is a
+    # global per-head scalar) — p = exp(logit − b) ≤ 1 never overflows.
+    # Underflow would need a per-row logit spread > 60 (pre-activation
+    # attention scores of magnitude ~60 = a diverged run); the clamp
+    # below zeroes such edges' α, which true softmax would also send → 0.
+    # This removes the last forward segment op: both the max and the
+    # denominator l_i = Σ p_e (the ones-column of the augmented combine)
+    # now ride the MXU kernel instead of XLA scatter lowerings
+    # (docs/bench_attn_parts.json: the segment ops were 40 of 47 ms).
+    b = f1f + jnp.max(f2f, axis=0, keepdims=True)
+    b = jnp.where(b >= 0, b, slope * b)
+    b = jax.lax.stop_gradient(b)  # exact: shift cancels in α and in grads
+    p = jnp.exp(jnp.maximum(logit - b[rows], -60.0))
+    wl = p  # denominator weights: softmax normalizer stays UNdropped
+    wf = p
     if attn_drop and drop_key is not None:
-        keep = jax.random.bernoulli(drop_key, 1.0 - attn_drop, alpha.shape)
-        alpha = jnp.where(keep, alpha / (1.0 - attn_drop), 0.0)
-    out = _make_combine(ga, num_heads, feat, exact, interpret)(alpha, h)
-    return out[:n_out]
+        keep = jax.random.bernoulli(drop_key, 1.0 - attn_drop, p.shape)
+        wf = jnp.where(keep, p / (1.0 - attn_drop), 0.0)
+    out_aug = _make_combine_aug(ga, num_heads, feat, exact, interpret)(
+        wf, wl, h)
+    oa = out_aug.reshape(-1, num_heads, feat + 1)
+    l = oa[..., feat:]
+    out = oa[..., :feat] / jnp.where(l == 0, 1.0, l)  # edgeless rows → 0
+    return out.reshape(-1, num_heads * feat)[:n_out]
 
 
 def gather_attention_coefficients(ga: GatherAttn, f1, f2, *,
