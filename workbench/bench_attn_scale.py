@@ -144,7 +144,7 @@ def run_one(N, M):
     # program leaves the device client UNAVAILABLE for the rest of the
     # process (observed at 120K), so the fused numbers must land before
     # the segment path is attempted.
-    res = interleaved_timeit({
+    fused_fns = {
         "coo_fwd_highest": lambda: fwd_hi(ac, f1, f2, h),
         "coo_fwd_default": lambda: fwd_df(ac, f1, f2, h),
         "coo_fwdbwd_highest": lambda: step_hi(ac, f1, f2, h),
@@ -153,7 +153,19 @@ def run_one(N, M):
         "gather_fwd_default": lambda: gfwd_df(ga, f1, f2, h),
         "gather_fwdbwd_highest": lambda: gstep_hi(ga, f1, f2, h),
         "gather_fwdbwd_default": lambda: gstep_df(ga, f1, f2, h),
-    }, rounds=3, iters=2, warmup=1)
+    }
+    # an OOM-ing entry (e.g. gather fwd+bwd f32 at 7.7M slots: two ~4GB
+    # edge streams per pass) must not lose the others — pre-screen each
+    # fn and record failures
+    ok = {}
+    for name, fn in fused_fns.items():
+        try:
+            jax.block_until_ready(fn())
+            ok[name] = fn
+        except Exception as e:  # noqa: BLE001 — device OOM recorded
+            out["times_s"][name] = f"error: {type(e).__name__}"
+            print(f"{name}: {type(e).__name__}: {str(e)[:120]}", flush=True)
+    res = interleaved_timeit(ok, rounds=3, iters=2, warmup=1)
     for k, v in res.items():
         out["times_s"][k] = round(v[0], 5)
     o_hi = fwd_hi(ac, f1, f2, h)
@@ -172,6 +184,9 @@ def run_one(N, M):
     hf_b = H * F * 4          # one projected-feature row, f32
     f_pad = 128 * 4           # lane-padded row the combine actually moves
     for tag, xb in (("highest", 4), ("default", 2)):
+        if not isinstance(out["times_s"].get(f"gather_fwd_{tag}"), float) \
+                or not isinstance(out["times_s"].get(f"coo_fwd_{tag}"), float):
+            continue
         fp = 128 * xb
         # gather fwd: logits (2 scalar-row gathers of 32B/edge) + combine
         # (one f_pad row gather per slot) are random; gathered/weighted
@@ -238,10 +253,13 @@ def run_one(N, M):
     if isinstance(ts.get("segment_fwdbwd"), float):
         out["speedup_fwdbwd_default"] = round(
             ts["segment_fwdbwd"] / ts["coo_fwdbwd_default"], 1)
-    out["gather_vs_coo_fwdbwd_default"] = round(
-        ts["coo_fwdbwd_default"] / ts["gather_fwdbwd_default"], 2)
-    out["gather_vs_coo_fwd_default"] = round(
-        ts["coo_fwd_default"] / ts["gather_fwd_default"], 2)
+    if all(isinstance(ts.get(k), float) for k in
+           ("coo_fwdbwd_default", "gather_fwdbwd_default",
+            "coo_fwd_default", "gather_fwd_default")):
+        out["gather_vs_coo_fwdbwd_default"] = round(
+            ts["coo_fwdbwd_default"] / ts["gather_fwdbwd_default"], 2)
+        out["gather_vs_coo_fwd_default"] = round(
+            ts["coo_fwd_default"] / ts["gather_fwd_default"], 2)
     print(json.dumps(out, indent=2), flush=True)
     return out
 
