@@ -306,3 +306,24 @@ def test_fused_attention_gather_matches_segment():
     assert np.isfinite(float(val))
     assert all(np.all(np.isfinite(np.asarray(g)))
                for g in jax.tree_util.tree_leaves(grads))
+
+
+@pytest.mark.slow
+def test_gat_cli_gather_attn_drop(planetoid_path, tmp_path):
+    """End-to-end CLI: GAT trains fused through the gather payload WITH
+    attention-coefficient dropout (the chunk kernels would fall back to
+    the segment path here)."""
+    from h2gcn_tpu.run_experiments import main
+
+    args = main([
+        "GAT", "planetoid", "--dataset", "ind.cora",
+        "--dataset_path", planetoid_path, "--epochs", "10",
+        "--fused_attention", "--attn_impl", "gather",
+        "--attn_drop", "0.6", "--patience", "0",
+        "--checkpoint_dir", str(tmp_path / "ck" / "{model}_{dataset}_{runname}"),
+    ])
+    from h2gcn_tpu.sparse.pallas_attention_gather import GatherAttn
+
+    assert isinstance(args.objects["tensors"]["adj"].attn, GatherAttn)
+    acc = float(args.objects["best_val_stats"]["val_acc"])
+    assert acc > 0.25, acc  # above chance and rising by epoch 10 (73% at 15 in dev)
