@@ -23,10 +23,14 @@ does:
     unchanged. Chunks here are per destination 512-row stripe, so slot
     occupancy is ~90%+ instead of ~5%.
 
-Backward is two more of the same pieces (custom VJP on the combine only;
-softmax/logits differentiate through JAX's segment-op VJPs):
-``dh = (Aα)ᵀ @ g`` rides transpose tables, ``dα`` is an edge-major SDDMM
-(``g[row_e] · h[col_e]`` per head).
+NEITHER direction runs any segment op: the whole attention is one custom
+VJP (:func:`_make_attention`). The forward's softmax denominator comes out
+of the same MXU combine pass via an augmented ones-column; the backward's
+per-edge chain rule FACTORS per destination/source row, so df1/df2/dh are
+three more combine passes (two augmented, one plain over transpose
+tables) plus O(E·H) edge-major elementwise work — no E×H·feat SDDMM and
+no ``segment_sum`` anywhere (XLA TPU scatters here are ~40× slower than
+the equivalent gathers, docs/bench_attn_parts.json).
 
 Because α MATERIALIZES per edge here (unlike the flash-style kernels),
 this path also supports attention-coefficient dropout (reference
@@ -211,6 +215,133 @@ def _weighted_combine_aug(gs: GScatter, awf: jax.Array, awl: jax.Array,
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
 
+def _augx(x, xb, num_heads: int, feat: int) -> jax.Array:
+    """[n, H·feat] features + [n, H] extra-column values → head-blocked
+    [n, H·(feat+1)] layout for the augmented combine (forward passes put
+    ones in the extra column to read off the softmax denominator; the
+    backward's df2 pass puts gl there)."""
+    n = x.shape[0]
+    return jnp.concatenate(
+        [x.astype(jnp.float32).reshape(n, num_heads, feat),
+         xb.astype(jnp.float32)[:, :, None]], axis=2
+    ).reshape(n, num_heads * (feat + 1))
+
+
+def _make_attention(ga: GatherAttn, num_heads: int, feat: int,
+                    slope: float, exact: bool, interpret: bool):
+    """Whole-attention custom VJP: ``(f1, f2, h, m) → out [n, H·feat]``
+    with NO segment ops in either direction and no E×H·feat SDDMM.
+
+    Forward: one augmented combine (numerator + denominator in a single
+    MXU pass; the softmax max is replaced by the shift-invariant bound
+    ``LRelu(f1 + max f2)``, exact for softmax and its gradients).
+
+    Backward: the per-edge chain
+    ``ds_e = lrelu'(s_e)·p_e·(m_e·gN[r_e]·h[c_e] + gl[r_e])`` FACTORS per
+    destination/source row, so the edge reductions become three more
+    kernel passes instead of segment scatters:
+
+      * ``dh = Σ_e wf_e·gN[r_e]`` — plain combine over transpose tables;
+      * ``df1_i = gN_i·Ñ_i + gl_i·l̃_i`` with ``[Ñ|l̃] =
+        aug-combine(q·m, q, h|ones)`` over the forward tables;
+      * ``df2_j = h_j·T1_j + T2_j`` with ``[T1|T2] =
+        aug-combine(q·m, q, gN|gl)`` over the transpose tables;
+
+    where ``q = lrelu'·p`` (zeroed on clamped edges), ``gN = G/l̂``,
+    ``gl = −(G·out)/l̂``. ``m`` is the attention-dropout mask (ones when
+    inactive); its cotangent is returned as zeros (masks are not
+    differentiated — bernoulli has no gradient path)."""
+    hf = num_heads * feat
+    f1p = feat + 1
+    hf1 = num_heads * f1p
+    f_pad_aug = max(F_TILE, -(-hf1 // F_TILE) * F_TILE)
+    f_pad = max(F_TILE, -(-hf // F_TILE) * F_TILE)
+    rows, cols = ga.rows, ga.cols
+
+    def _prep(x, width):
+        xp = x.astype(jnp.float32)
+        if width != xp.shape[1]:
+            xp = jnp.pad(xp, ((0, 0), (0, width - xp.shape[1])))
+        if not exact:
+            xp = xp.astype(jnp.bfloat16)
+        return xp
+
+    def _edge_terms(f1, f2):
+        f1f, f2f = f1.astype(jnp.float32), f2.astype(jnp.float32)
+        s = f1f[rows] + f2f[cols]
+        t = jnp.where(s >= 0, s, slope * s)
+        b = f1f + jnp.max(f2f, axis=0, keepdims=True)
+        b = jnp.where(b >= 0, b, slope * b)
+        z = t - b[rows]
+        live = z > -60.0  # f32-underflow guard; see gat_attention_gather
+        p = jnp.exp(jnp.maximum(z, -60.0))
+        return s, p, live
+
+    def _ones_aug(h):
+        return _augx(h, jnp.ones((h.shape[0], num_heads), jnp.float32),
+                     num_heads, feat)
+
+    def _fwd_parts(f1, f2, h, m):
+        _, p, _ = _edge_terms(f1, f2)
+        awf = _scatter_alpha(ga.slot2edge_fwd, p * m)
+        awl = _scatter_alpha(ga.slot2edge_fwd, p)
+        out_aug = _weighted_combine_aug(
+            ga.fwd, awf, awl, _prep(_ones_aug(h), f_pad_aug),
+            num_heads, feat, exact, interpret)[: ga.n, :hf1]
+        oa = out_aug.reshape(-1, num_heads, f1p)
+        l = oa[..., feat]
+        lhat = jnp.where(l == 0, 1.0, l)
+        out = (oa[..., :feat] / lhat[..., None]).reshape(-1, hf)
+        return out, l
+
+    @jax.custom_vjp
+    def attn(f1, f2, h, m):
+        return _fwd_parts(f1, f2, h, m)[0]
+
+    def attn_fwd(f1, f2, h, m):
+        out, l = _fwd_parts(f1, f2, h, m)
+        return out, (f1, f2, h, m, l, out)
+
+    def attn_bwd(res, G):
+        f1, f2, h, m, l, out = res
+        G = G.astype(jnp.float32)
+        lhat = jnp.where(l == 0, 1.0, l)
+        G3 = G.reshape(-1, num_heads, feat)
+        out3 = out.astype(jnp.float32).reshape(-1, num_heads, feat)
+        gN = (G3 / lhat[..., None]).reshape(-1, hf)
+        gl = -jnp.sum(G3 * out3, axis=-1) / lhat
+        s, p, live = _edge_terms(f1, f2)
+        q = jnp.where(s >= 0, 1.0, slope) * jnp.where(live, p, 0.0)
+        qm = q * m
+        # dh: transpose combine, weights wf = p·m
+        aw_b = _scatter_alpha(ga.slot2edge_bwd, p * m)
+        dh = _weighted_combine(ga.bwd, aw_b, _prep(gN, f_pad), num_heads,
+                               feat, exact, interpret)[: ga.n, :hf]
+        # df1 via forward tables
+        nt = _weighted_combine_aug(
+            ga.fwd, _scatter_alpha(ga.slot2edge_fwd, qm),
+            _scatter_alpha(ga.slot2edge_fwd, q),
+            _prep(_ones_aug(h), f_pad_aug),
+            num_heads, feat, exact, interpret)[: ga.n, :hf1]
+        nt3 = nt.reshape(-1, num_heads, f1p)
+        df1 = (jnp.sum(gN.reshape(-1, num_heads, feat) * nt3[..., :feat],
+                       axis=-1) + gl * nt3[..., feat])
+        # df2 via transpose tables
+        tt = _weighted_combine_aug(
+            ga.bwd, _scatter_alpha(ga.slot2edge_bwd, qm),
+            _scatter_alpha(ga.slot2edge_bwd, q),
+            _prep(_augx(gN, gl, num_heads, feat), f_pad_aug),
+            num_heads, feat, exact, interpret)[: ga.n, :hf1]
+        tt3 = tt.reshape(-1, num_heads, f1p)
+        df2 = (jnp.sum(h.astype(jnp.float32).reshape(-1, num_heads, feat)
+                       * tt3[..., :feat], axis=-1) + tt3[..., feat])
+        return (df1.astype(f1.dtype), df2.astype(f2.dtype),
+                dh.astype(h.dtype), jnp.zeros_like(m))
+
+    attn.defvjp(attn_fwd, attn_bwd)
+    return attn
+
+
 def _make_combine_aug(ga: GatherAttn, num_heads: int, feat: int,
                       exact: bool, interpret: bool):
     """custom-VJP augmented combine: ``(wf, wl, h) → [n, H·(feat+1)]``
@@ -327,37 +458,27 @@ def gat_attention_gather(ga: GatherAttn, f1, f2, h, *, num_heads: int,
     ``drop_key``), which the chunk kernels cannot express because their
     coefficients never materialize."""
     exact = precision == "highest"
-    rows, cols = ga.rows, ga.cols
-    f1f, f2f = f1.astype(jnp.float32), f2.astype(jnp.float32)
-    # SDDMM: per-edge logits from per-node scalars
-    logit = f1f[rows] + f2f[cols]
-    logit = jnp.where(logit >= 0, logit, slope * logit)
-    # Stability shift WITHOUT a segment max: softmax is invariant to any
-    # per-row shift, so use the per-destination UPPER BOUND
+    # Stability WITHOUT a segment max: softmax is invariant to any per-row
+    # shift, so _make_attention uses the per-destination UPPER BOUND
     # b_i = LRelu(f1_i + max_j f2_j) (LeakyReLU is monotone; the max is a
     # global per-head scalar) — p = exp(logit − b) ≤ 1 never overflows.
     # Underflow would need a per-row logit spread > 60 (pre-activation
-    # attention scores of magnitude ~60 = a diverged run); the clamp
-    # below zeroes such edges' α, which true softmax would also send → 0.
-    # This removes the last forward segment op: both the max and the
-    # denominator l_i = Σ p_e (the ones-column of the augmented combine)
-    # now ride the MXU kernel instead of XLA scatter lowerings
-    # (docs/bench_attn_parts.json: the segment ops were 40 of 47 ms).
-    b = f1f + jnp.max(f2f, axis=0, keepdims=True)
-    b = jnp.where(b >= 0, b, slope * b)
-    b = jax.lax.stop_gradient(b)  # exact: shift cancels in α and in grads
-    p = jnp.exp(jnp.maximum(logit - b[rows], -60.0))
-    wl = p  # denominator weights: softmax normalizer stays UNdropped
-    wf = p
+    # attention scores of magnitude ~60 = a diverged run); such edges'
+    # α are clamped toward 0, which true softmax would also send → 0.
+    # Neither direction runs ANY segment op: the softmax denominator, the
+    # backward df1/df2 edge reductions (which factor per destination/
+    # source row — see _make_attention), and dh all ride the one-hot MXU
+    # combine kernel (docs/bench_attn_parts.json: the forward segment ops
+    # alone were 40 of 47 ms; XLA TPU scatters are ~40× slower than the
+    # equivalent gathers).
+    m = jnp.ones((1, 1), jnp.float32)
     if attn_drop and drop_key is not None:
-        keep = jax.random.bernoulli(drop_key, 1.0 - attn_drop, p.shape)
-        wf = jnp.where(keep, p / (1.0 - attn_drop), 0.0)
-    out_aug = _make_combine_aug(ga, num_heads, feat, exact, interpret)(
-        wf, wl, h)
-    oa = out_aug.reshape(-1, num_heads, feat + 1)
-    l = oa[..., feat:]
-    out = oa[..., :feat] / jnp.where(l == 0, 1.0, l)  # edgeless rows → 0
-    return out.reshape(-1, num_heads * feat)[:n_out]
+        keep = jax.random.bernoulli(drop_key, 1.0 - attn_drop,
+                                    (ga.num_edges, f1.shape[1]))
+        m = jnp.where(keep, 1.0 / (1.0 - attn_drop), 0.0)
+    out = _make_attention(ga, num_heads, feat, slope, exact, interpret)(
+        f1, f2, h, m)
+    return out[:n_out]
 
 
 def gather_attention_coefficients(ga: GatherAttn, f1, f2, *,

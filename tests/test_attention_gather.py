@@ -131,6 +131,54 @@ def test_gather_attention_coefficients_and_dropout():
     assert not np.allclose(np.asarray(outd), np.asarray(out0))
 
 
+def test_gather_attention_dropout_gradients_match_segment_oracle():
+    """Gradients THROUGH attention dropout: the whole-attention VJP masks
+    the numerator (q·m) but not the denominator (q) — verify df1/df2/dh
+    against JAX autodiff of a segment-op reference using the same mask
+    (reference semantics: dropout on softmaxed coefficients,
+    baselines/GAT/utils/layers.py:53-100)."""
+    n, heads, feat, rate = 180, 2, 8, 0.4
+    a = _rand_support(n, 3, seed=7)
+    ga = build_gatherattn(a, tile=64, e_b=32, kb=2)
+    rng = np.random.default_rng(4)
+    f1 = jnp.asarray(rng.standard_normal((n, heads)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((n, heads)), jnp.float32)
+    h = jnp.asarray(rng.standard_normal((n, heads * feat)), jnp.float32)
+    tgt = jnp.asarray(rng.standard_normal((n, heads * feat)), jnp.float32)
+    key = jax.random.PRNGKey(3)
+    # regenerate the exact mask gat_attention_gather derives from the key
+    keep = jax.random.bernoulli(key, 1.0 - rate, (ga.num_edges, heads))
+    m = jnp.where(keep, 1.0 / (1.0 - rate), 0.0)
+    rows, cols = ga.rows, ga.cols
+
+    def loss_gather(f1, f2, h):
+        out = gat_attention_gather(ga, f1, f2, h, num_heads=heads,
+                                   feat=feat, n_out=n, interpret=True,
+                                   attn_drop=rate, drop_key=key)
+        return jnp.sum(out * tgt)
+
+    def loss_segment(f1, f2, h):
+        logit = f1[rows] + f2[cols]
+        logit = jnp.where(logit >= 0, logit, 0.2 * logit)
+        mx = jax.ops.segment_max(logit, rows, num_segments=n,
+                                 indices_are_sorted=True)
+        p = jnp.exp(logit - jax.lax.stop_gradient(mx)[rows])
+        l = jax.ops.segment_sum(p, rows, num_segments=n,
+                                indices_are_sorted=True)
+        alpha = (p / l[rows]) * m                       # dropout AFTER softmax
+        h3 = h.reshape(n, heads, feat)
+        contrib = alpha[:, :, None] * h3[cols]
+        out = jax.ops.segment_sum(contrib, rows, num_segments=n,
+                                  indices_are_sorted=True)
+        return jnp.sum(out.reshape(n, heads * feat) * tgt)
+
+    g1 = jax.grad(loss_gather, argnums=(0, 1, 2))(f1, f2, h)
+    g2 = jax.grad(loss_segment, argnums=(0, 1, 2))(f1, f2, h)
+    for got, want, name in zip(g1, g2, ("df1", "df2", "dh")):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
+
+
 def test_gather_attention_bf16_mode_close():
     n, heads, feat = 256, 4, 8
     a = _rand_support(n, 4, seed=5)
