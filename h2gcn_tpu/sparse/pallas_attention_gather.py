@@ -342,66 +342,6 @@ def _make_attention(ga: GatherAttn, num_heads: int, feat: int,
     return attn
 
 
-def _make_combine_aug(ga: GatherAttn, num_heads: int, feat: int,
-                      exact: bool, interpret: bool):
-    """custom-VJP augmented combine: ``(wf, wl, h) → [n, H·(feat+1)]``
-    (numerator slices + denominator column per head). Backward: dh rides
-    the transpose tables in the ORIGINAL layout, dwf is an edge-major
-    SDDMM over the feature slices, dwl is a plain row gather of the
-    denominator-column cotangent."""
-    hf = num_heads * feat
-    f1p = feat + 1
-    hf1 = num_heads * f1p
-    f_pad_aug = max(F_TILE, -(-hf1 // F_TILE) * F_TILE)
-    f_pad = max(F_TILE, -(-hf // F_TILE) * F_TILE)
-
-    def _prep(x, width):
-        xp = x.astype(jnp.float32)
-        if width != xp.shape[1]:
-            xp = jnp.pad(xp, ((0, 0), (0, width - xp.shape[1])))
-        if not exact:
-            xp = xp.astype(jnp.bfloat16)
-        return xp
-
-    def _aug(h):
-        n = h.shape[0]
-        return jnp.concatenate(
-            [h.astype(jnp.float32).reshape(n, num_heads, feat),
-             jnp.ones((n, num_heads, 1), jnp.float32)],
-            axis=2).reshape(n, hf1)
-
-    @jax.custom_vjp
-    def combine(wf, wl, h):
-        awf = _scatter_alpha(ga.slot2edge_fwd, wf)
-        awl = _scatter_alpha(ga.slot2edge_fwd, wl)
-        out = _weighted_combine_aug(ga.fwd, awf, awl,
-                                    _prep(_aug(h), f_pad_aug),
-                                    num_heads, feat, exact, interpret)
-        return out[: ga.n, :hf1]
-
-    def combine_fwd(wf, wl, h):
-        return combine(wf, wl, h), (wf, wl, h)
-
-    def combine_bwd(res, g):
-        wf, wl, h = res
-        gf = g.astype(jnp.float32).reshape(-1, num_heads, f1p)
-        g_feat = gf[..., :feat].reshape(-1, hf)
-        g_l = gf[..., feat]                       # [n, H]
-        aw_b = _scatter_alpha(ga.slot2edge_bwd, wf)
-        dh = _weighted_combine(ga.bwd, aw_b, _prep(g_feat, f_pad),
-                               num_heads, feat, exact,
-                               interpret)[: ga.n, :hf]
-        gg = g_feat[ga.rows].reshape(ga.num_edges, num_heads, feat)
-        gh = h.astype(jnp.float32)[ga.cols].reshape(
-            ga.num_edges, num_heads, feat)
-        dwf = jnp.sum(gg * gh, axis=-1)
-        dwl = g_l[ga.rows]
-        return dwf, dwl, dh.astype(h.dtype)
-
-    combine.defvjp(combine_fwd, combine_bwd)
-    return combine
-
-
 def _make_combine(ga: GatherAttn, num_heads: int, feat: int, exact: bool,
                   interpret: bool):
     """custom-VJP combine: out[n, H*feat] from per-edge α [E, H] and
