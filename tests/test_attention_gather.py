@@ -39,7 +39,7 @@ def _dense_oracle(a, f1, f2, h, num_heads, feat, slope=0.2):
     return jnp.concatenate(outs, axis=1)
 
 
-@pytest.mark.parametrize("heads,feat", [(4, 8), (1, 16)])
+@pytest.mark.parametrize("heads,feat", [(4, 8), (1, 16), (8, 16)])
 def test_gather_attention_matches_dense_oracle(heads, feat):
     n = 300
     a = _rand_support(n, 4, seed=1)
@@ -55,8 +55,12 @@ def test_gather_attention_matches_dense_oracle(heads, feat):
                                rtol=1e-5, atol=1e-5)
 
 
-def test_gather_attention_gradients_match_dense_oracle():
-    n, heads, feat = 200, 2, 8
+@pytest.mark.parametrize("heads,feat", [
+    (2, 8),    # hf1 = 18 — single 128-lane tile in the augmented layout
+    (4, 32),   # hf = 128 exactly; hf1 = 132 crosses into a second tile
+])
+def test_gather_attention_gradients_match_dense_oracle(heads, feat):
+    n = 200
     a = _rand_support(n, 3, seed=2)
     ga = build_gatherattn(a, tile=64, e_b=32, kb=2)
     rng = np.random.default_rng(1)
