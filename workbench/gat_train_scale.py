@@ -82,7 +82,7 @@ def main():
     data = json.loads(art.read_text())
     if isinstance(data, list):
         data = {"sizes": data}
-    data["gat_train_120k"] = block
+    data[f"gat_train_{N // 1000}k"] = block
     art.write_text(json.dumps(data, indent=2))
     print(json.dumps(block, indent=2))
 
