@@ -219,6 +219,25 @@ def run_one(N, M):
                 (rand / _RAND_BW + seq / bw)
                 / out["times_s"][f"gather_fwd_{tag}"], 3),
         }
+        # gather fwd+bwd: the whole-attention VJP runs FOUR combine passes
+        # (fwd-recompute aug, dh plain over transpose tables, df1 aug, df2
+        # aug) — each one slot-space row gather (random) plus gathered
+        # write + kernel read + α fill + tables (sequential) — and
+        # evaluates the edge terms twice (fwd + bwd recompute).
+        if isinstance(out["times_s"].get(f"gather_fwdbwd_{tag}"), float):
+            rand_b = E * 2 * (H * 4) * 2 + ga_slots * fp * 4
+            seq_b = (4 * (ga_slots * fp * 2 + ga_slots * (4 * H)
+                          + ga_slots * 12)
+                     + E * (H * 4) * 12      # edge-major q/p/softmax streams
+                     + 4 * N * f_pad)        # out + df1/df2/dh flushes
+            out["roofline"][f"gather_fwdbwd_{tag}"] = {
+                "sol_ms": round((rand_b / _RAND_BW + seq_b / bw) * 1e3, 2),
+                "achieved_ms": round(
+                    out["times_s"][f"gather_fwdbwd_{tag}"] * 1e3, 2),
+                "frac_of_sol": round(
+                    (rand_b / _RAND_BW + seq_b / bw)
+                    / out["times_s"][f"gather_fwdbwd_{tag}"], 3),
+            }
         # coo-chunk fwd: per chunk one 256-wide f2 tile + one h tile DMA
         # (sequential), plus edge tables; slots are mostly padding.
         coo_seq = (ac.num_chunks * ac.tile * (H * 4 + H * F * 4)
