@@ -33,6 +33,15 @@ H, F = 8, 8
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 40_000
     m = int(sys.argv[2]) if len(sys.argv) > 2 else 4_000_000
+    import os
+    cap = os.environ.get("H2GCN_GS_MAX_STEPS")
+    if cap:
+        # experiment: fewer/larger segments = fewer barrier-serialized
+        # combine sub-programs; at 40K/7.75M slots the default 2048-step
+        # cap yields 4 segments whose gather buffers would fit HBM as one
+        from h2gcn_tpu.sparse import pallas_gscatter as _gs
+        _gs._MAX_STEPS = int(cap)
+        print(f"_MAX_STEPS={cap}", flush=True)
     print(f"devices: {jax.devices()}", flush=True)
     float(jnp.zeros(()))  # warm up relay readback
     A = build_graph(n, m, seed=0)
