@@ -383,8 +383,10 @@ def add_subparser_args(parser):
                             "kernel (no E-sized intermediates), gather = "
                             "edge-major SDDMM + gather-scatter combine "
                             "(also expresses --attn_drop). auto routes to "
-                            "gather, which wins fwd and fwd+bwd at every "
-                            "measured occupancy (docs/bench_attn_scale.json)")
+                            "gather — it wins fwd and fwd+bwd at every "
+                            "measured occupancy (docs/bench_attn_scale.json) "
+                            "— unless its E-sized edge streams would exceed "
+                            "the HBM budget, where coo takes over")
     group.add_argument("--optimizer", type=str, default="adam")
     group.add_argument("--no_feature_normalize", action="store_true")
     group.add_argument("--best_val_criteria", choices=["val_acc", "val_loss"],
@@ -442,9 +444,38 @@ _BSR_PAYLOAD_BUDGET_BYTES = 256 * 1024 * 1024
 # nnz (fwd 348 vs 505 ms; fwd+bwd 872 vs 1315 ms bf16, 1306 vs 1667 f32
 # — the round-4 'backward fails to compile' verdict was a transient
 # relay fault, workbench/probe_gatherbwd_40k.py). auto therefore routes
-# every past-BSR-budget graph to gather; the chunk kernel stays
-# reachable via --attn_impl coo (it holds no E-sized intermediates, the
-# fallback if a graph's edge streams ever exhaust HBM).
+# past-BSR-budget graphs to gather UNLESS its E-sized edge streams would
+# exhaust HBM (estimated below) — the chunk kernel holds no E-sized
+# intermediates, so it is both the auto fallback at extreme E and always
+# reachable via --attn_impl coo.
+
+# HBM budget for the gather payload's live edge streams (v5e has 16GB;
+# leave headroom for params/activations/fragmentation)
+_GATHER_STREAM_BUDGET_BYTES = 8 * 1024 ** 3
+
+
+def _gather_stream_bytes(n: int, nnz: int, heads: int = 8,
+                         feat_pad: int = 128) -> int:
+    """Conservative estimate of the gather payload's resident + peak-live
+    HBM bytes (the quantity the COO-chunk kernel avoids by construction).
+
+    Components, per :mod:`..sparse.pallas_attention_gather`:
+      * chunk tables in BOTH orientations: rows/vals [slots] + cols [slots]
+        (12B/slot) plus slot2edge inverse maps (4B/slot), ×2;
+      * edge-major [E, H] f32 streams during fwd+bwd (p, q, q·m, dropout
+        mask, α fills — ~6 live at peak) plus the CSR edge list (8B/edge);
+      * ONE segment's gathered feature buffer ([seg_slots, feat_pad] f32 —
+        segments are sequenced by optimization_barrier so only ~one is
+        live), where seg_slots is capped by the gscatter _MAX_STEPS bound.
+    Slot count is estimated at ~115% of nnz plus per-stripe filler blocks
+    (measured occupancies run 0.87-0.99, docs/bench_attn_scale.json).
+    """
+    slots = int(nnz * 1.15) + (-(-n // 512)) * 8 * 128
+    per_slot = 2 * (12 + 4) + heads * 4 * 2      # tables ×2 + live α fills
+    per_edge = heads * 4 * 6 + 8                 # edge-major streams + list
+    seg_slots = min(slots, 2048 * 8 * 128)       # _MAX_STEPS·kb·e_b
+    gathered = seg_slots * feat_pad * 4
+    return slots * per_slot + nnz * per_edge + gathered
 
 
 def build_gat_adjacency(support, fused_attention: bool,
@@ -475,7 +506,13 @@ def build_gat_adjacency(support, fused_attention: bool,
     # forcing the at-scale payloads on small graphs in tests/benches)
     if attn_impl != "auto" or payload > _BSR_PAYLOAD_BUDGET_BYTES:
         if attn_impl == "auto":
-            attn_impl = "gather"  # wins at every measured occupancy
+            # gather wins at every measured occupancy, but it materializes
+            # E-sized intermediates — when those would exhaust HBM, auto
+            # falls back to the COO-chunk kernel (flash-style: no E-sized
+            # buffers at all)
+            attn_impl = ("coo"
+                         if _gather_stream_bytes(support.shape[0], coo.nnz)
+                         > _GATHER_STREAM_BUDGET_BYTES else "gather")
         return SparseMatrix.from_scipy(support, backend="attn",
                                        attn_tile=block_size,
                                        attn_impl=attn_impl)

@@ -200,6 +200,86 @@ def test_gat_adjacency_routing():
     assert seg.bsr is None and seg.attn is None
 
 
+def test_gat_adjacency_gather_hbm_guard():
+    """auto routes past-BSR-budget graphs to gather, EXCEPT when gather's
+    E-sized edge streams would exhaust HBM — then the flash-style
+    COO-chunk payload (no E-sized intermediates) is chosen instead
+    (round-4 advisor finding: auto could OOM with coo unreachable)."""
+    import scipy.sparse as sp
+
+    import h2gcn_tpu.models.GAT as gat
+    from h2gcn_tpu.sparse.pallas_attention_coo import AttnCoo
+    from h2gcn_tpu.sparse.pallas_attention_gather import GatherAttn
+
+    rng = np.random.default_rng(1)
+    n, m = 40_000, 120_000
+    r = rng.integers(0, n, m)
+    c = rng.integers(0, n, m)
+    a = sp.csr_matrix((np.ones(m, np.float32), (r, c)), shape=(n, n))
+    support = ((a + a.T + sp.eye(n)) > 0).astype(np.float32)
+
+    # past the BSR budget, within the gather stream budget -> gather
+    adj = gat.build_gat_adjacency(support, fused_attention=True)
+    assert isinstance(adj.attn, GatherAttn)
+
+    # same graph with the stream budget squeezed below its estimate -> coo
+    est = gat._gather_stream_bytes(n, int(support.nnz))
+    old = gat._GATHER_STREAM_BUDGET_BYTES
+    gat._GATHER_STREAM_BUDGET_BYTES = est - 1
+    try:
+        adj2 = gat.build_gat_adjacency(support, fused_attention=True)
+    finally:
+        gat._GATHER_STREAM_BUDGET_BYTES = old
+    assert isinstance(adj2.attn, AttnCoo)
+
+    # an EXPLICIT --attn_impl gather still overrides the guard
+    adj3 = gat.build_gat_adjacency(support, fused_attention=True,
+                                   attn_impl="gather")
+    assert isinstance(adj3.attn, GatherAttn)
+
+    # sanity on the estimate's scale: a real 16GB-HBM breaker (1B edges)
+    # is over budget, the measured-good 40K/7.7M-nnz regime is under
+    assert gat._gather_stream_bytes(1_000_000, 1_000_000_000) > old
+    assert gat._gather_stream_bytes(40_000, 7_700_000) < old
+
+
+def test_bench_attn_scale_merges_artifact(tmp_path):
+    """workbench/bench_attn_scale.py must MERGE into its artifact by
+    (n, m_edges), not overwrite — re-running one size keeps the others'
+    rows intact (VERDICT r4 weak #4)."""
+    import importlib.util
+    import json
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_attn_scale",
+        pathlib.Path(__file__).resolve().parent.parent
+        / "workbench" / "bench_attn_scale.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    path = tmp_path / "art.json"
+    path.write_text(json.dumps({"sizes": [
+        {"n": 90_000, "m_edges": 450_000, "kept": True},
+        {"n": 120_000, "m_edges": 600_000, "kept": True},
+    ], "gat_train_120k": {"epoch_ms": 622}}))
+    merged = mod.merge_results(path, [{"n": 40_000, "m_edges": 200_000}])
+    assert [e["n"] for e in merged] == [40_000, 90_000, 120_000]
+    # replacing one size leaves the others — and extra evidence keys —
+    # intact
+    merged = mod.merge_results(
+        path, [{"n": 90_000, "m_edges": 450_000, "kept": False}])
+    on_disk = json.loads(path.read_text())
+    assert merged == on_disk["sizes"]
+    assert [e["n"] for e in merged] == [40_000, 90_000, 120_000]
+    assert merged[1]["kept"] is False and merged[2]["kept"] is True
+    assert on_disk["gat_train_120k"] == {"epoch_ms": 622}
+    # legacy bare-list artifacts are upgraded, not destroyed
+    path.write_text(json.dumps([{"n": 5, "m_edges": 9}]))
+    merged = mod.merge_results(path, [{"n": 7, "m_edges": 9}])
+    assert [e["n"] for e in merged] == [5, 7]
+
+
 def test_fused_attention_coo_matches_segment():
     """GAT apply through the COO-chunk fused kernel (backend='attn',
     interpret mode on CPU) == the segment-path eval, including grads."""

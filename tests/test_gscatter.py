@@ -61,10 +61,13 @@ def test_gscatter_segments_and_empty_rows():
     np.testing.assert_allclose(out, a @ x, rtol=1e-4, atol=1e-5)
 
 
-def test_gscatter_overlong_final_row():
-    """A single tile row spanning more than _MAX_STEPS grid steps must not
-    crash segment cutting (regression: IndexError when no later row start
-    exists). The over-long segment is allowed through with a warning."""
+def test_gscatter_megahub_overflow_bounds_buffer():
+    """A single tile row spanning more than _MAX_STEPS grid steps (a
+    mega-hub destination stripe) is split into overflow levels: NO
+    segment — main or overflow — exceeds the step cap, no warning fires,
+    and the summed result is exact (VERDICT r4 weak #6)."""
+    import warnings as _warnings
+
     import h2gcn_tpu.sparse.pallas_gscatter as gsm
 
     # all edges in the LAST tile row: 300 edges / (e_b=32 * kb=2) = 5 steps
@@ -77,13 +80,40 @@ def test_gscatter_overlong_final_row():
     old = gsm._MAX_STEPS
     gsm._MAX_STEPS = 2
     try:
-        with pytest.warns(UserWarning, match="segment buffer bound"):
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error")  # any warning -> failure
             gs = build_gscatter(a, tile=64, e_b=32, kb=2)
+        assert gs.overflow, "mega-hub row must spill into overflow levels"
+        assert gs.max_segment_steps <= 2  # the bound HOLDS everywhere
     finally:
         gsm._MAX_STEPS = old
     x = np.random.default_rng(0).standard_normal((n, 16)).astype(np.float32)
     out = np.asarray(gscatter_spmm(gs, jnp.asarray(x), interpret=True))
     np.testing.assert_allclose(out, a @ x, rtol=1e-4, atol=1e-5)
+
+
+def test_gatherattn_slots_path_keeps_warning_fallback():
+    """The attention payload (return_slots=True) needs ONE global slot
+    space, so it cannot overflow-split; it falls back to the over-long
+    segment and warns."""
+    import h2gcn_tpu.sparse.pallas_gscatter as gsm
+    from h2gcn_tpu.sparse.pallas_gscatter import build_gscatter_coo
+
+    n = 128
+    rng = np.random.default_rng(4)
+    r = rng.integers(64, 128, 300)
+    c = rng.integers(0, n, 300)
+    old = gsm._MAX_STEPS
+    gsm._MAX_STEPS = 2
+    try:
+        with pytest.warns(UserWarning, match="segment buffer bound"):
+            gs, slots = build_gscatter_coo(
+                r, c, np.ones(300, np.float32), (n, n), tile=64, e_b=32,
+                kb=2, return_slots=True)
+    finally:
+        gsm._MAX_STEPS = old
+    assert not gs.overflow
+    assert len(slots) == 300
 
 
 def test_gscatter_sparsematrix_plumbing():
