@@ -429,8 +429,11 @@ def _initialize_distributed(args, model, tx, params, opt_state,
     """Multi-chip runtime: node-sharded tensors, edge-partitioned hops,
     shard_map'd train/eval steps — behind the same args.objects contract.
 
-    Activated by ``--mesh_shards N`` (NetworkModel-based models). Halo mode
-    via ``--halo_mode {ring,allgather}``.
+    Activated by ``--mesh_shards N``. Hop-matrix models (H2GCN/GCN
+    families) shard per ``--halo_mode {ring,allgather,halo,halo-cootile}``;
+    GAT shards its attention support dest-stripe-wise over the gather
+    payload (parallel/attention.py) — the at-scale path the single-device
+    reference (baselines/GAT/utils/layers.py:53-100) never had.
     """
     from ..parallel import dist as pdist
     from ..parallel import train as ptrain
@@ -438,13 +441,27 @@ def _initialize_distributed(args, model, tx, params, opt_state,
 
     tensors = args.objects["tensors"]
     hops = tensors.get("adj_hops")
-    assert isinstance(hops, (list, tuple)) and len(hops) > 0, (
-        "--mesh_shards requires hop-matrix models (H2GCN/GCN families)")
     mode = getattr(args, "_halo_mode", "ring") or "ring"
     mesh = make_mesh(mesh_shards)
-    hop_shards, n_pad = pdist.shard_hops(
-        [h.to_scipy() for h in hops], mesh_shards, mode=mode
-    )
+    from .GAT import GATNetwork as _GAT
+
+    if isinstance(model, _GAT):
+        from ..parallel import attention as pattn
+
+        dga, n_pad = pattn.shard_attention_gather(
+            tensors["adj"].to_scipy(), mesh_shards)
+        model = pattn.DistGATNetwork.from_single(model)
+        hop_shards = [dga]
+        print(f"===> Distributed GAT: dest-stripe gather attention, "
+              f"halo {dga.h_pad} rows/pair, "
+              f"{dga.e_pad} padded edges/shard")
+    else:
+        assert isinstance(hops, (list, tuple)) and len(hops) > 0, (
+            "--mesh_shards requires hop-matrix models (H2GCN/GCN "
+            "families) or GAT")
+        hop_shards, n_pad = pdist.shard_hops(
+            [h.to_scipy() for h in hops], mesh_shards, mode=mode
+        )
     train_fn, _ = ptrain.build_dist_steps(model, tx, mesh, hop_shards)
     eval_full = train_fn.eval_full
 

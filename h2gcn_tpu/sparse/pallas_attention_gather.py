@@ -80,6 +80,15 @@ class GatherAttn:
     slot2edge_bwd: jax.Array  # [total_slots_bwd] int32
     n: int = struct.field(pytree_node=False, default=0)
     num_edges: int = struct.field(pytree_node=False, default=0)
+    # source-row count for RECTANGULAR supports (dest rows × source rows):
+    # the distributed dest-stripe sharding attends local rows over the
+    # concatenated [local | halo-recv] source space (parallel/attention.py).
+    # 0 = square (n sources), the single-device case.
+    n_src: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def num_src(self) -> int:
+        return self.n_src or self.n
 
     @property
     def total_slots_fwd(self) -> int:
@@ -94,19 +103,20 @@ def build_gatherattn(csr, tile: int = 512, e_b: int = 128,
                      kb: int = 8) -> GatherAttn:
     """Host prep from the attention support matrix (mask semantics: any
     stored nonzero is an edge; values are ignored, matching the chunk
-    kernels' ``mask = vals > 0``)."""
+    kernels' ``mask = vals > 0``). Rectangular supports (n dest rows ×
+    m source rows) are the distributed dest-stripe shards: f1 is indexed
+    over dest rows, f2/h over source rows."""
     import scipy.sparse as sp
 
     csr = sp.csr_matrix(csr)
     n, m = csr.shape
-    assert n == m, "attention support must be square"
     coo = csr.tocoo()
     r = coo.row.astype(np.int64)
     c = coo.col.astype(np.int64)
     ones = np.ones(len(r), np.float32)
-    gs_f, slot_f = build_gscatter_coo(r, c, ones, (n, n), tile=tile,
+    gs_f, slot_f = build_gscatter_coo(r, c, ones, (n, m), tile=tile,
                                       e_b=e_b, kb=kb, return_slots=True)
-    gs_b, slot_b = build_gscatter_coo(c, r, ones, (n, n), tile=tile,
+    gs_b, slot_b = build_gscatter_coo(c, r, ones, (m, n), tile=tile,
                                       e_b=e_b, kb=kb, return_slots=True)
     E = len(r)
 
@@ -124,7 +134,7 @@ def build_gatherattn(csr, tile: int = 512, e_b: int = 128,
         slot_bwd=jnp.asarray(slot_b, jnp.int32),
         slot2edge_fwd=inv(slot_f, tot_f),
         slot2edge_bwd=inv(slot_b, tot_b),
-        n=n, num_edges=E,
+        n=n, num_edges=E, n_src=0 if m == n else m,
     )
 
 
@@ -313,10 +323,11 @@ def _make_attention(ga: GatherAttn, num_heads: int, feat: int,
         s, p, live = _edge_terms(f1, f2)
         q = jnp.where(s >= 0, 1.0, slope) * jnp.where(live, p, 0.0)
         qm = q * m
-        # dh: transpose combine, weights wf = p·m
+        # dh: transpose combine, weights wf = p·m (source-row cotangents —
+        # [num_src] rows on rectangular/distributed supports)
         aw_b = _scatter_alpha(ga.slot2edge_bwd, p * m)
         dh = _weighted_combine(ga.bwd, aw_b, _prep(gN, f_pad), num_heads,
-                               feat, exact, interpret)[: ga.n, :hf]
+                               feat, exact, interpret)[: ga.num_src, :hf]
         # df1 via forward tables
         nt = _weighted_combine_aug(
             ga.fwd, _scatter_alpha(ga.slot2edge_fwd, qm),
@@ -331,7 +342,7 @@ def _make_attention(ga: GatherAttn, num_heads: int, feat: int,
             ga.bwd, _scatter_alpha(ga.slot2edge_bwd, qm),
             _scatter_alpha(ga.slot2edge_bwd, q),
             _prep(_augx(gN, gl, num_heads, feat), f_pad_aug),
-            num_heads, feat, exact, interpret)[: ga.n, :hf1]
+            num_heads, feat, exact, interpret)[: ga.num_src, :hf1]
         tt3 = tt.reshape(-1, num_heads, f1p)
         df2 = (jnp.sum(h.astype(jnp.float32).reshape(-1, num_heads, feat)
                        * tt3[..., :feat], axis=-1) + tt3[..., feat])
@@ -373,7 +384,7 @@ def _make_combine(ga: GatherAttn, num_heads: int, feat: int, exact: bool,
         # dh = (Aα)ᵀ @ g: same α, transpose tables (edges grouped by src)
         aw_b = _scatter_alpha(ga.slot2edge_bwd, alpha)
         dh = _weighted_combine(ga.bwd, aw_b, _prep_x(gf), num_heads, feat,
-                               exact, interpret)[: ga.n, :hf]
+                               exact, interpret)[: ga.num_src, :hf]
         # dα_e[h] = g[row_e, h·feat:..] · hproj[col_e, h·feat:..] — an
         # edge-major SDDMM: two gathers + per-head contraction
         gg = gf[ga.rows].reshape(ga.num_edges, num_heads, feat)

@@ -84,6 +84,45 @@ def test_gather_attention_gradients_match_dense_oracle(heads, feat):
                                    rtol=2e-4, atol=2e-5, err_msg=name)
 
 
+def test_gather_attention_rectangular_support():
+    """Rectangular supports (n dest rows × m source rows) — the shape of a
+    distributed dest-stripe shard attending over [local | halo] sources —
+    match the dense oracle in forward AND all three gradients."""
+    n, m, heads, feat = 96, 288, 2, 8
+    rng = np.random.default_rng(5)
+    r = np.repeat(np.arange(n), 4)
+    c = rng.integers(0, m, n * 4)
+    a = sp.csr_matrix((np.ones(n * 4, np.float32), (r, c)), shape=(n, m))
+    a.sum_duplicates()
+    ga = build_gatherattn(a, tile=64, e_b=32, kb=2)
+    assert ga.num_src == m and ga.n == n
+    f1 = jnp.asarray(rng.standard_normal((n, heads)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((m, heads)), jnp.float32)
+    h = jnp.asarray(rng.standard_normal((m, heads * feat)), jnp.float32)
+    tgt = jnp.asarray(rng.standard_normal((n, heads * feat)), jnp.float32)
+
+    out = gat_attention_gather(ga, f1, f2, h, num_heads=heads, feat=feat,
+                               n_out=n, interpret=True)
+    ref = _dense_oracle(a, f1, f2, h, heads, feat)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_gather(f1, f2, h):
+        o = gat_attention_gather(ga, f1, f2, h, num_heads=heads, feat=feat,
+                                 n_out=n, interpret=True)
+        return jnp.sum(o * tgt)
+
+    def loss_dense(f1, f2, h):
+        return jnp.sum(_dense_oracle(a, f1, f2, h, heads, feat) * tgt)
+
+    g1 = jax.grad(loss_gather, argnums=(0, 1, 2))(f1, f2, h)
+    g2 = jax.grad(loss_dense, argnums=(0, 1, 2))(f1, f2, h)
+    assert g1[1].shape == (m, heads) and g1[2].shape == (m, heads * feat)
+    for got, want, name in zip(g1, g2, ("df1", "df2", "dh")):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
+
+
 def test_gather_attention_multi_segment():
     """Tables split across segments (tiny step cap) still agree."""
     import h2gcn_tpu.sparse.pallas_gscatter as gsm
