@@ -36,9 +36,17 @@ REPO = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def run_steps(num_steps: int, mode: str, seed: int = 0):
+def run_steps(num_steps: int, mode: str, seed: int = 0, n: int = 96,
+              m_edges: int = None, time_steps: int = 0):
     """Build + run the distributed program on whatever device/process
-    topology this process sees. Returns (losses per step, final acc)."""
+    topology this process sees. Returns (losses per step, final acc,
+    per-step wall times). ``n``/``m_edges`` scale the graph (VERDICT r4
+    weak #3: the 64-node toys never exercised the serialization/overlap
+    shape at a size where halo vs allgather actually diverge);
+    ``time_steps`` adds a post-warmup timed phase (each step synced by the
+    loss readback)."""
+    import time
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -52,9 +60,15 @@ def run_steps(num_steps: int, mode: str, seed: int = 0):
     from h2gcn_tpu.parallel.mesh import make_mesh
     from h2gcn_tpu.sparse import transforms
 
-    n, f, c = 96, 24, 5
+    f, c = 24, 5
     rng = np.random.default_rng(seed)
-    A = sp.random(n, n, density=0.1, random_state=seed, format="csr")
+    if m_edges:
+        r = rng.integers(0, n, m_edges)
+        cc = rng.integers(0, n, m_edges)
+        A = sp.csr_matrix((np.ones(m_edges, np.float32), (r, cc)),
+                          shape=(n, n))
+    else:
+        A = sp.random(n, n, density=0.1, random_state=seed, format="csr")
     A = ((A + A.T) > 0).astype(np.float32)
     A = transforms.remove_eye(A)
     hops = transforms.nhood_split(A, 2)
@@ -108,8 +122,16 @@ def run_steps(num_steps: int, mode: str, seed: int = 0):
         params, opt_state, loss = train_step(params, opt_state, key,
                                              xd, yd, md)
         losses.append(float(loss))  # replicated output: readable everywhere
+    step_times = []
+    for step in range(time_steps):
+        key = to_global(P())(jax.random.PRNGKey(5000 + step))
+        t0 = time.perf_counter()
+        params, opt_state, loss = train_step(params, opt_state, key,
+                                             xd, yd, md)
+        float(loss)  # sync
+        step_times.append(round(time.perf_counter() - t0, 4))
     metrics = eval_step(params, xd, yd, md)
-    return losses, float(metrics["acc"])
+    return losses, float(metrics["acc"]), step_times
 
 
 def worker_main(args):
@@ -122,23 +144,29 @@ def worker_main(args):
                          num_processes=args.nproc, process_id=args.pid)
     assert jax.process_count() == args.nproc, jax.process_count()
     assert jax.device_count() == args.nproc * args.devices_per_proc
-    losses, acc = run_steps(args.steps, args.mode)
+    losses, acc, times = run_steps(args.steps, args.mode, n=args.n,
+                                   m_edges=args.m_edges,
+                                   time_steps=args.time_steps)
     if args.pid == 0:
         with open(args.result, "w") as fh:
             json.dump({"losses": losses, "acc": acc,
+                       "step_times_s": times,
                        "process_count": jax.process_count(),
                        "device_count": jax.device_count(),
                        "local_device_count": jax.local_device_count()}, fh)
-    print(f"[worker {args.pid}] losses={losses} acc={acc:.3f}")
+    print(f"[worker {args.pid}] losses={losses} acc={acc:.3f} "
+          f"times={times}")
 
 
 def control_main(args):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    losses, acc = run_steps(args.steps, args.mode)
+    losses, acc, times = run_steps(args.steps, args.mode, n=args.n,
+                                   m_edges=args.m_edges,
+                                   time_steps=args.time_steps)
     with open(args.result, "w") as fh:
-        json.dump({"losses": losses, "acc": acc,
+        json.dump({"losses": losses, "acc": acc, "step_times_s": times,
                    "device_count": jax.device_count()}, fh)
 
 
@@ -156,6 +184,8 @@ def driver_main(args):
     # multi-process cluster: P workers x K virtual CPU devices each
     procs = []
     mp_result = os.path.join(tmp, "multi.json")
+    size_args = ["--n", str(args.n), "--m_edges", str(args.m_edges or 0),
+                 "--time_steps", str(args.time_steps)]
     for pid in range(args.nproc):
         env = dict(env_base,
                    XLA_FLAGS="--xla_force_host_platform_device_count="
@@ -166,7 +196,7 @@ def driver_main(args):
              "--devices_per_proc", str(args.devices_per_proc),
              "--coordinator", f"localhost:{port}",
              "--steps", str(args.steps), "--mode", args.mode,
-             "--result", mp_result],
+             "--result", mp_result] + size_args,
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
     outs = [p.communicate(timeout=900)[0].decode() for p in procs]
     for pid, (p, o) in enumerate(zip(procs, outs)):
@@ -182,7 +212,7 @@ def driver_main(args):
     ctl = subprocess.run(
         [sys.executable, "-u", __file__, "--role", "control",
          "--steps", str(args.steps), "--mode", args.mode,
-         "--result", sp_result],
+         "--result", sp_result] + size_args,
         env=env, capture_output=True, timeout=900)
     if ctl.returncode != 0:
         print(ctl.stdout.decode(), ctl.stderr.decode())
@@ -198,6 +228,8 @@ def driver_main(args):
         "mesh_size": args.nproc * args.devices_per_proc,
         "mode": args.mode,
         "steps": args.steps,
+        "n": args.n,
+        "m_edges": args.m_edges,
         "multi_process": multi,
         "single_process_control": single,
         "max_abs_loss_delta": max_dl,
@@ -205,10 +237,21 @@ def driver_main(args):
         "parity": bool(max_dl < 1e-5
                        and abs(multi["acc"] - single["acc"]) < 1e-6),
     }
+    if multi.get("step_times_s") and single.get("step_times_s"):
+        report["multiprocess_overhead_per_step_s"] = round(
+            min(multi["step_times_s"]) - min(single["step_times_s"]), 4)
     print(json.dumps(report, indent=1))
     if args.out:
-        with open(args.out, "w") as fh:
-            json.dump(report, fh, indent=1)
+        if args.merge_key:
+            # merge into a keyed artifact — evidence files are never
+            # overwritten wholesale (bench_attn_scale.py rule)
+            p = pathlib.Path(args.out)
+            doc = json.loads(p.read_text()) if p.exists() else {}
+            doc[args.merge_key] = report
+            p.write_text(json.dumps(doc, indent=1))
+        else:
+            with open(args.out, "w") as fh:
+                json.dump(report, fh, indent=1)
     if not report["parity"]:
         raise SystemExit("PARITY FAILURE")
 
@@ -221,9 +264,15 @@ def main():
     ap.add_argument("--devices_per_proc", type=int, default=4)
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--mode", default="ring")
+    ap.add_argument("--n", type=int, default=96)
+    ap.add_argument("--m_edges", type=int, default=0)
+    ap.add_argument("--time_steps", type=int, default=0)
     ap.add_argument("--pid", type=int, default=0)
     ap.add_argument("--coordinator", default=None)
     ap.add_argument("--result", default=None)
+    ap.add_argument("--merge_key", default=None,
+                    help="merge the report under this key into --out "
+                         "instead of overwriting the file")
     ap.add_argument("--out", default=str(REPO / "docs" /
                                          "dist_multiprocess.json"))
     args = ap.parse_args()
