@@ -52,15 +52,19 @@ H, F = 8, 8
 _RAND_BW = 43e9
 
 
-def run_one(N, M):
-    print(f"=== n={N} m_edges={M} heads={H}x{F}", flush=True)
+def run_one(N, M, gather_only=False):
+    print(f"=== n={N} m_edges={M} heads={H}x{F}"
+          + (" (gather_only)" if gather_only else ""), flush=True)
     A = build_graph(N, M, seed=0)
     support = transforms.add_eye(A).tocsr()
-    t0 = time.time()
-    ac = build_attn_coo(support, tile=256, e_b=128)
-    t_build = time.time() - t0
-    print(f"attn_coo build: {t_build:.1f}s, chunks={ac.num_chunks}, "
-          f"segments fwd={len(ac.fwd)} bwd={len(ac.bwd)}", flush=True)
+    ac = None
+    t_build = 0.0
+    if not gather_only:
+        t0 = time.time()
+        ac = build_attn_coo(support, tile=256, e_b=128)
+        t_build = time.time() - t0
+        print(f"attn_coo build: {t_build:.1f}s, chunks={ac.num_chunks}, "
+              f"segments fwd={len(ac.fwd)} bwd={len(ac.bwd)}", flush=True)
     adj = SparseMatrix.from_scipy(support, backend="segment")
 
     rng = np.random.default_rng(0)
@@ -108,10 +112,10 @@ def run_one(N, M):
     ga_slots = ga.total_slots_fwd
     ga_slots_bwd = ga.total_slots_bwd
     print(f"gatherattn build: {t_ga_build:.1f}s, slots={ga_slots} "
-          f"(occupancy {support.nnz / ga_slots:.2f}); coo-chunk slots="
-          f"{ac.num_chunks * ac.e_b} "
-          f"(occupancy {support.nnz / (ac.num_chunks * ac.e_b):.3f})",
-          flush=True)
+          f"(occupancy {support.nnz / ga_slots:.2f})"
+          + (f"; coo-chunk slots={ac.num_chunks * ac.e_b} (occupancy "
+             f"{support.nnz / (ac.num_chunks * ac.e_b):.3f})"
+             if ac is not None else ""), flush=True)
 
     def ga_fwd(precision):
         @jax.jit
@@ -132,30 +136,40 @@ def run_one(N, M):
     gstep_hi, gstep_df = ga_step("highest"), ga_step("default")
 
     out = {"n": N, "m_edges": M, "nnz": int(support.nnz),
-           "heads": H, "feat": F, "tile": ac.tile, "e_b": ac.e_b,
-           "chunks": ac.num_chunks, "build_s": round(t_build, 2),
+           "heads": H, "feat": F, "build_s": round(t_build, 2),
            "gather_build_s": round(t_ga_build, 2),
            "gather_slots": int(ga_slots),
            "gather_slots_bwd": int(ga_slots_bwd),
            "gather_slot_occupancy": round(support.nnz / ga_slots, 3),
-           "coo_slot_occupancy": round(
-               support.nnz / (ac.num_chunks * ac.e_b), 4),
            "times_s": {}}
+    if ac is not None:
+        out.update(tile=ac.tile, e_b=ac.e_b, chunks=ac.num_chunks,
+                   coo_slot_occupancy=round(
+                       support.nnz / (ac.num_chunks * ac.e_b), 4))
+    else:
+        out["coo_skipped"] = ("chunk tables infeasible at this "
+                              "ultra-sparsity: ~1 edge per (dest,src) "
+                              "pair makes chunk count ~nnz, slots ~128x "
+                              "nnz (multi-GB tables) -- gather_only")
 
     # --- fused paths first: chained-dispatch timing. A faulting segment
     # program leaves the device client UNAVAILABLE for the rest of the
     # process (observed at 120K), so the fused numbers must land before
     # the segment path is attempted.
-    fused_fns = {
-        "coo_fwd_highest": lambda: fwd_hi(ac, f1, f2, h),
-        "coo_fwd_default": lambda: fwd_df(ac, f1, f2, h),
-        "coo_fwdbwd_highest": lambda: step_hi(ac, f1, f2, h),
-        "coo_fwdbwd_default": lambda: step_df(ac, f1, f2, h),
+    fused_fns = {}
+    if ac is not None:
+        fused_fns.update({
+            "coo_fwd_highest": lambda: fwd_hi(ac, f1, f2, h),
+            "coo_fwd_default": lambda: fwd_df(ac, f1, f2, h),
+            "coo_fwdbwd_highest": lambda: step_hi(ac, f1, f2, h),
+            "coo_fwdbwd_default": lambda: step_df(ac, f1, f2, h),
+        })
+    fused_fns.update({
         "gather_fwd_highest": lambda: gfwd_hi(ga, f1, f2, h),
         "gather_fwd_default": lambda: gfwd_df(ga, f1, f2, h),
         "gather_fwdbwd_highest": lambda: gstep_hi(ga, f1, f2, h),
         "gather_fwdbwd_default": lambda: gstep_df(ga, f1, f2, h),
-    }
+    })
     # an OOM-ing entry (e.g. gather fwd+bwd f32 at 7.7M slots: two ~4GB
     # edge streams per pass) must not lose the others — pre-screen each
     # fn and record failures. One retry per fn: the axon relay's remote
@@ -184,12 +198,15 @@ def run_one(N, M):
     res = interleaved_timeit(ok, rounds=3, iters=2, warmup=1)
     for k, v in res.items():
         out["times_s"][k] = round(v[0], 5)
-    o_hi = fwd_hi(ac, f1, f2, h)
-    o_df = fwd_df(ac, f1, f2, h)
     og_hi = gfwd_hi(ga, f1, f2, h)
-    out["gather_vs_coo_max_abs_err"] = float(jnp.max(jnp.abs(og_hi - o_hi)))
-    print(f"gather-hi vs coo-hi max err: "
-          f"{out['gather_vs_coo_max_abs_err']:.2e}", flush=True)
+    o_hi, o_df = og_hi, og_hi  # cross-check bases in gather_only mode
+    if ac is not None:
+        o_hi = fwd_hi(ac, f1, f2, h)
+        o_df = fwd_df(ac, f1, f2, h)
+        out["gather_vs_coo_max_abs_err"] = float(
+            jnp.max(jnp.abs(og_hi - o_hi)))
+        print(f"gather-hi vs coo-hi max err: "
+              f"{out['gather_vs_coo_max_abs_err']:.2e}", flush=True)
 
     # --- rooflines: random-access bytes at the measured ~43GB/s random
     # stream, everything sequential at HBM rate. Both fused paths get a
@@ -200,8 +217,7 @@ def run_one(N, M):
     hf_b = H * F * 4          # one projected-feature row, f32
     f_pad = 128 * 4           # lane-padded row the combine actually moves
     for tag, xb in (("highest", 4), ("default", 2)):
-        if not isinstance(out["times_s"].get(f"gather_fwd_{tag}"), float) \
-                or not isinstance(out["times_s"].get(f"coo_fwd_{tag}"), float):
+        if not isinstance(out["times_s"].get(f"gather_fwd_{tag}"), float):
             continue
         fp = 128 * xb
         # gather fwd: logits (2 scalar-row gathers of 32B/edge) + combine
@@ -243,6 +259,8 @@ def run_one(N, M):
             }
         # coo-chunk fwd: per chunk one 256-wide f2 tile + one h tile DMA
         # (sequential), plus edge tables; slots are mostly padding.
+        if not isinstance(out["times_s"].get(f"coo_fwd_{tag}"), float):
+            continue
         coo_seq = (ac.num_chunks * ac.tile * (H * 4 + H * F * 4)
                    + ac.num_chunks * ac.e_b * 12 + N * f_pad)
         out["roofline"][f"coo_fwd_{tag}"] = {
@@ -281,12 +299,18 @@ def run_one(N, M):
             break
 
     ts = out["times_s"]
-    if isinstance(ts.get("segment_fwd"), float):
+    if (isinstance(ts.get("segment_fwd"), float)
+            and isinstance(ts.get("coo_fwd_highest"), float)):
         out["speedup_fwd_highest"] = round(
             ts["segment_fwd"] / ts["coo_fwd_highest"], 1)
         out["speedup_fwd_default"] = round(
             ts["segment_fwd"] / ts["coo_fwd_default"], 1)
-    if isinstance(ts.get("segment_fwdbwd"), float):
+    if isinstance(ts.get("segment_fwd"), float) and isinstance(
+            ts.get("gather_fwd_highest"), float):
+        out["speedup_gather_fwd_highest"] = round(
+            ts["segment_fwd"] / ts["gather_fwd_highest"], 1)
+    if (isinstance(ts.get("segment_fwdbwd"), float)
+            and isinstance(ts.get("coo_fwdbwd_default"), float)):
         out["speedup_fwdbwd_default"] = round(
             ts["segment_fwdbwd"] / ts["coo_fwdbwd_default"], 1)
     if all(isinstance(ts.get(k), float) for k in
@@ -358,13 +382,15 @@ def main():
         return
     float(jnp.zeros(()))  # readback warm-up
     print(f"backend={jax.default_backend()}", flush=True)
+    gather_only = "--gather_only" in sys.argv
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     sizes = [(90_000, 450_000), (120_000, 600_000)]
-    if len(sys.argv) > 2:
-        args = [int(a) for a in sys.argv[1:]]
+    if len(pos) > 1:
+        args = [int(a) for a in pos]
         sizes = list(zip(args[::2], args[1::2]))
     art = pathlib.Path(__file__).resolve().parent.parent / "docs"
     for n, m in sizes:
-        entry = run_one(n, m)
+        entry = run_one(n, m, gather_only=gather_only)
         # incremental MERGE: a later size's device fault must not lose the
         # completed entries, and re-running one size keeps all others
         merge_results(art / "bench_attn_scale.json", [entry])

@@ -140,8 +140,23 @@ def make_fns(precision):
 alpha = jax.block_until_ready(softmax_only(ga, f1, f2))
 print("softmax compiled", flush=True)
 
+# raw random-gather microbench: is the slot-space row gather BYTE-bound
+# (bf16 halves it) or ROW-latency-bound (width-invariant)? This decides
+# whether bf16's halved paper-roofline is actually reachable.
+seg0_cols = ga.fwd.segments[0].cols
+x128_f32 = jnp.pad(h, ((0, 0), (0, 128 - h.shape[1])))
+x128_bf16 = x128_f32.astype(jnp.bfloat16)
+
+
+@jax.jit
+def gather_rows(x, cols):
+    return x[cols]
+
+
 timed = {"softmax_only": lambda: softmax_only(ga, f1, f2),
-         "alpha_fill": lambda: fill_only(ga, alpha_e)}
+         "alpha_fill": lambda: fill_only(ga, alpha_e),
+         "rawgather_f32_128": lambda: gather_rows(x128_f32, seg0_cols),
+         "rawgather_bf16_128": lambda: gather_rows(x128_bf16, seg0_cols)}
 for tag in ("highest", "default"):
     fns = make_fns(tag)
     sfx = "_hi" if tag == "highest" else "_df"
