@@ -441,9 +441,9 @@ _BSR_PAYLOAD_BUDGET_BYTES = 256 * 1024 * 1024
 # every measured occupancy — ultra-sparse 6.7-8 nnz per occupied
 # (dest,src) 256-pair (25-37× fwd, the chunk kernel runs ~5% edge-slot
 # occupancy there) and the dense-chunk 107 nnz/pair regime at 40K/7.7M
-# nnz (fwd 348 vs 505 ms; fwd+bwd 872 vs 1315 ms bf16, 1306 vs 1667 f32
-# — the round-4 'backward fails to compile' verdict was a transient
-# relay fault, workbench/probe_gatherbwd_40k.py). auto therefore routes
+# nnz (one-harness re-run r5: fwd 370 vs 504 ms; fwd+bwd 950 vs 1319 ms
+# bf16, 1346 vs 1669 f32 — the round-4 'backward fails to compile'
+# verdict was a transient relay fault). auto therefore routes
 # past-BSR-budget graphs to gather UNLESS its E-sized edge streams would
 # exhaust HBM (estimated below) — the chunk kernel holds no E-sized
 # intermediates, so it is both the auto fallback at extreme E and always

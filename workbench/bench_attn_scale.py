@@ -21,9 +21,16 @@ ops this hardware serializes. Measures:
     dies with a TPU device error (UNAVAILABLE) on this runtime, which is
     recorded as "device_error" rather than a number.
 
-Emits docs/bench_attn_scale.json (a list, one entry per size).
+MERGES docs/bench_attn_scale.json (``{"sizes": [...], extra keys}``) by
+(n, m_edges) — re-running one size preserves every other row and all
+extra evidence keys; ``--dry_run`` proves it without touching a device.
+``--gather_only`` skips the COO-chunk payload (infeasible tables at 1M
+ultra-sparsity). Payload groups are screened and timed separately (coo
+tables freed before the gather group) because the 8-program union
+exhausts HBM at 40K/7.7M nnz.
 
 Usage: python workbench/bench_attn_scale.py [n m_edges] [n m_edges ...]
+       [--gather_only] [--dry_run]
 """
 import json
 import pathlib
@@ -179,34 +186,76 @@ def run_one(N, M, gather_only=False):
     # so a single failure must not be taken as a verdict. The error
     # message head is recorded so transient relay faults are
     # distinguishable from real OOMs in the artifact.
-    ok = {}
-    for name, fn in fused_fns.items():
-        errs = []  # BOTH attempts recorded: a transient relay 500 on
-        # attempt 1 must stay distinguishable from a real OOM on attempt 2
-        for attempt in range(2):
-            try:
-                jax.block_until_ready(fn())
-                ok[name] = fn
-                errs = []
-                break
-            except Exception as e:  # noqa: BLE001 — device OOM recorded
-                errs.append(f"attempt{attempt + 1}: {type(e).__name__}: "
-                            f"{str(e)[:160]}")
-                print(f"{name} {errs[-1]}", flush=True)
-        if errs:
-            out["times_s"][name] = "error: " + "; ".join(errs)
-    res = interleaved_timeit(ok, rounds=3, iters=2, warmup=1)
-    for k, v in res.items():
-        out["times_s"][k] = round(v[0], 5)
-    og_hi = gfwd_hi(ga, f1, f2, h)
+    def _device_ok():
+        try:
+            jax.block_until_ready(jnp.zeros((8,)) + 1.0)
+            return True
+        except Exception:  # noqa: BLE001
+            return False
+
+    def _screen_and_time(group):
+        """Pre-screen + time ONE payload group. Grouping (rather than
+        interleaving coo and gather) keeps only one payload's tables and
+        programs resident: at 40K/7.7M-nnz the 8-program union genuinely
+        exhausts HBM (reproduced twice in round 5) — and a real OOM
+        wedges the allocator for the whole process, so after one the
+        group is abandoned with errors recorded."""
+        ok = {}
+        for name, fn in group.items():
+            errs = []  # BOTH attempts recorded: a transient relay 500 on
+            # attempt 1 stays distinguishable from a real OOM on attempt 2
+            for attempt in range(2):
+                try:
+                    jax.block_until_ready(fn())
+                    ok[name] = fn
+                    errs = []
+                    break
+                except Exception as e:  # noqa: BLE001 — OOM recorded
+                    errs.append(f"attempt{attempt + 1}: "
+                                f"{type(e).__name__}: {str(e)[:160]}")
+                    print(f"{name} {errs[-1]}", flush=True)
+            if errs:
+                out["times_s"][name] = "error: " + "; ".join(errs)
+                if not _device_ok():
+                    out["times_s"][name] += " [allocator wedged after]"
+                    print("device allocator wedged — abandoning group",
+                          flush=True)
+                    return {}
+        return ok
+
+    # cross-check FIRST (needs both payloads alive), results pulled to
+    # host so the device buffers free before timing
+    og_hi = np.asarray(gfwd_hi(ga, f1, f2, h))
     o_hi, o_df = og_hi, og_hi  # cross-check bases in gather_only mode
     if ac is not None:
-        o_hi = fwd_hi(ac, f1, f2, h)
-        o_df = fwd_df(ac, f1, f2, h)
+        o_hi = np.asarray(fwd_hi(ac, f1, f2, h))
+        o_df = np.asarray(fwd_df(ac, f1, f2, h))
         out["gather_vs_coo_max_abs_err"] = float(
-            jnp.max(jnp.abs(og_hi - o_hi)))
+            np.max(np.abs(og_hi - o_hi)))
         print(f"gather-hi vs coo-hi max err: "
               f"{out['gather_vs_coo_max_abs_err']:.2e}", flush=True)
+
+    import gc
+
+    coo_names = [k for k in fused_fns if k.startswith("coo_")]
+    ok = _screen_and_time({k: fused_fns[k] for k in coo_names})
+    if ok:
+        res = interleaved_timeit(ok, rounds=3, iters=2, warmup=1)
+        for k, v in res.items():
+            out["times_s"][k] = round(v[0], 5)
+    # free the chunk payload (tables + closures + executables) before the
+    # gather group claims its multi-GB edge streams
+    for k in coo_names:
+        fused_fns.pop(k, None)
+    ac = None
+    del fwd_hi, fwd_df, step_hi, step_df, ok
+    gc.collect()
+
+    ok = _screen_and_time(fused_fns)
+    if ok:
+        res = interleaved_timeit(ok, rounds=3, iters=2, warmup=1)
+        for k, v in res.items():
+            out["times_s"][k] = round(v[0], 5)
 
     # --- rooflines: random-access bytes at the measured ~43GB/s random
     # stream, everything sequential at HBM rate. Both fused paths get a
@@ -261,8 +310,8 @@ def run_one(N, M, gather_only=False):
         # (sequential), plus edge tables; slots are mostly padding.
         if not isinstance(out["times_s"].get(f"coo_fwd_{tag}"), float):
             continue
-        coo_seq = (ac.num_chunks * ac.tile * (H * 4 + H * F * 4)
-                   + ac.num_chunks * ac.e_b * 12 + N * f_pad)
+        coo_seq = (out["chunks"] * out["tile"] * (H * 4 + H * F * 4)
+                   + out["chunks"] * out["e_b"] * 12 + N * f_pad)
         out["roofline"][f"coo_fwd_{tag}"] = {
             "sol_ms": round(coo_seq / bw * 1e3, 2),
             "achieved_ms": round(out["times_s"][f"coo_fwd_{tag}"] * 1e3, 2),
@@ -279,10 +328,11 @@ def run_one(N, M, gather_only=False):
             r = fn()
             _block(r)  # compile + first run
             if name == "segment_fwd":
+                r_np = np.asarray(r)
                 out["fused_vs_segment_max_abs_err"] = float(
-                    jnp.max(jnp.abs(o_hi - r)))
+                    np.max(np.abs(o_hi - r_np)))
                 out["fused_default_vs_segment_max_abs_err"] = float(
-                    jnp.max(jnp.abs(o_df - r)))
+                    np.max(np.abs(o_df - r_np)))
                 print(f"fused-hi vs segment max err: "
                       f"{out['fused_vs_segment_max_abs_err']:.2e}",
                       flush=True)
