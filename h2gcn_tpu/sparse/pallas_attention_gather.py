@@ -16,12 +16,16 @@ does:
   * **combine (Pallas, MXU)**: ``out_i = Σ_e α_e · h[col_e]`` is exactly a
     gather-scatter SpMM with DYNAMIC per-edge values — the
     :mod:`pallas_gscatter` chunk tables are built once per graph
-    (``build_gscatter_coo(return_slots=True)`` exposes the edge→slot map)
-    and α is scattered into the padded slot space at trace time; the
-    weighting happens edge-major in XLA (per-head α broadcast over the
-    head's feature slice), the one-hot MXU scatter kernel is reused
-    unchanged. Chunks here are per destination 512-row stripe, so slot
-    occupancy is ~90%+ instead of ~5%.
+    (``build_gscatter_coo(return_slots=True)`` exposes the edge→slot map).
+    Per-edge weights are lane-EXPANDED on the E-sized edge table with one
+    MXU one-hot dot (:func:`_expand_edge_weights`) and reach the slot
+    space as a near-sequential gather through the ``slot2edge`` inverse
+    map, fused into the weighting multiply; the one-hot MXU scatter
+    kernel is reused unchanged. (The previous slot-space fill + per-lane
+    ``repeat`` lowered to a lane shuffle that DOMINATED the combine —
+    20.7 of 29.2 ms at 120K, docs/bench_attn_parts.json parts_120k.)
+    Chunks here are per destination 512-row stripe, so slot occupancy is
+    ~90%+ instead of ~5%.
 
 NEITHER direction runs any segment op: the whole attention is one custom
 VJP (:func:`_make_attention`). The forward's softmax denominator comes out
@@ -138,32 +142,82 @@ def build_gatherattn(csr, tile: int = 512, e_b: int = 128,
     )
 
 
-def _weighted_combine(gs: GScatter, aw: jax.Array, xp: jax.Array,
-                      num_heads: int, feat: int, exact: bool,
+def _expand_edge_weights(w_e: jax.Array, num_heads: int, feat: int,
+                         f_pad: int, exact: bool) -> jax.Array:
+    """[E, H] per-edge per-head weights → [E+1, f_pad] head-blocked lane
+    expansion (head h's weight replicated over its ``feat`` lanes, zeros
+    beyond ``H·feat``) with a trailing all-zero row — index ``E`` is the
+    padding-slot sentinel the ``slot2edge`` maps point at.
+
+    The expansion is an MXU one-hot dot: the naive per-lane ``repeat``
+    lowers to a lane shuffle XLA executes ~8× slower than the whole
+    combine kernel (measured: 20.7 of the 29.2 ms combine pass at 120K,
+    docs/bench_attn_parts.json parts_120k). The one-hot operand is exact
+    in bf16, so HIGHEST precision reproduces f32 weights exactly."""
+    lanes = np.arange(f_pad)
+    oh = (((lanes[None, :] // feat) == np.arange(num_heads)[:, None])
+          & (lanes[None, :] < num_heads * feat))
+    wz = jnp.concatenate(
+        [w_e.astype(jnp.float32), jnp.zeros((1, w_e.shape[1]),
+                                            jnp.float32)], axis=0)
+    return jnp.dot(wz, jnp.asarray(oh, jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST if exact
+                   else jax.lax.Precision.DEFAULT)
+
+
+def _expand_edge_weights_aug(wf_e: jax.Array, wl_e: jax.Array,
+                             num_heads: int, feat: int, f_pad: int,
+                             exact: bool) -> jax.Array:
+    """Augmented-layout expansion: per head, ``feat`` lanes carry ``wf``
+    and the trailing lane carries ``wl`` (the ones-column weight); same
+    MXU one-hot construction and sentinel row as
+    :func:`_expand_edge_weights`."""
+    f1p = feat + 1
+    lanes = np.arange(f_pad)
+    head = lanes // f1p
+    trailing = (lanes % f1p) == feat
+    row = np.where(trailing, num_heads + head, head)
+    valid = lanes < num_heads * f1p
+    oh = np.zeros((2 * num_heads, f_pad), np.float32)
+    oh[row[valid], lanes[valid]] = 1.0
+    w = jnp.concatenate([wf_e.astype(jnp.float32),
+                         wl_e.astype(jnp.float32)], axis=1)  # [E, 2H]
+    wz = jnp.concatenate([w, jnp.zeros((1, 2 * num_heads), jnp.float32)],
+                         axis=0)
+    return jnp.dot(wz, jnp.asarray(oh),
+                   precision=jax.lax.Precision.HIGHEST if exact
+                   else jax.lax.Precision.DEFAULT)
+
+
+def _weighted_combine(gs: GScatter, s2e: jax.Array, wx: jax.Array,
+                      xp: jax.Array, exact: bool,
                       interpret: bool) -> jax.Array:
-    """``out = Aα @ x`` over gscatter tables with traced per-edge per-head
-    weights ``aw: [total_slots, H]`` (padding slots zero). ``xp`` is
+    """``out = Aw @ x`` over gscatter tables with traced per-edge weights
+    already lane-EXPANDED on the edge table: ``wx`` is [E+1, f_pad] (from
+    :func:`_expand_edge_weights` / ``_aug``; row E all-zero) and ``s2e``
+    the slot→edge inverse map (padding slots → E). Per segment the slot
+    weights are a GATHER ``wx[s2e_seg]`` — near-sequential (slots follow
+    CSR edge order) and fusable into the multiply, replacing the old
+    [slots, H] fill + lane-shuffle ``repeat`` whose relayout dominated
+    the pass (docs/bench_attn_parts.json parts_120k). ``xp`` is
     [n, f_pad] f32 (exact) or bf16. Returns [rb_total*tile, f_pad] f32."""
     f_pad = xp.shape[1]
+    sentinel = wx.shape[0] - 1
     parts = []
     tok = None
     for seg in gs.segments:
-        xp_seg = seg_aw = None
         if tok is not None:
-            (xp_seg, seg_aw), _ = jax.lax.optimization_barrier(
-                ((xp, aw), tok))
+            (xp_seg, wx_seg, s2e_seg), _ = jax.lax.optimization_barrier(
+                ((xp, wx, s2e), tok))
         else:
-            xp_seg, seg_aw = xp, aw
+            xp_seg, wx_seg, s2e_seg = xp, wx, s2e
         gathered = xp_seg[seg.cols]  # [padded_slots, f_pad]
-        a = jax.lax.slice_in_dim(seg_aw, seg.slot_lo, seg.slot_hi, axis=0)
+        idx = jax.lax.slice_in_dim(s2e_seg, seg.slot_lo, seg.slot_hi,
+                                   axis=0)
         pad = seg.cols.shape[0] - (seg.slot_hi - seg.slot_lo)
         if pad:
-            a = jnp.pad(a, ((0, pad), (0, 0)))
-        # per-head α broadcast over the head's feature slice, then padded
-        # to the lane width; XLA fuses the repeat+pad into the multiply
-        w = jnp.repeat(a, feat, axis=1)
-        if f_pad != num_heads * feat:
-            w = jnp.pad(w, ((0, 0), (0, f_pad - num_heads * feat)))
+            idx = jnp.pad(idx, (0, pad), constant_values=sentinel)
+        w = wx_seg[idx]
         weighted = gathered * w.astype(gathered.dtype)
         fn = _seg_fn(int(seg.ctr.shape[0]), seg.rb_hi - seg.rb_lo, gs.tile,
                      gs.e_b, gs.kb, f_pad, exact, interpret)
@@ -181,48 +235,6 @@ def _scatter_alpha(slot2edge: jax.Array, alpha: jax.Array) -> jax.Array:
     az = jnp.concatenate(
         [alpha, jnp.zeros((1, alpha.shape[1]), alpha.dtype)], axis=0)
     return az[slot2edge]
-
-
-def _weighted_combine_aug(gs: GScatter, awf: jax.Array, awl: jax.Array,
-                          xp_aug: jax.Array, num_heads: int, feat: int,
-                          exact: bool, interpret: bool) -> jax.Array:
-    """Augmented combine: per head, ``feat`` feature columns weighted by
-    ``awf`` plus ONE trailing ones-column weighted by ``awl`` — so a
-    single kernel pass yields both the softmax numerator and the
-    denominator ``l_i = Σ_e p_e`` (the ones-column output). ``awf``/
-    ``awl`` are [total_slots, H]; they differ only under attention
-    dropout (numerator masked, denominator not)."""
-    f1p = feat + 1
-    f_pad = xp_aug.shape[1]
-    parts = []
-    tok = None
-    for seg in gs.segments:
-        if tok is not None:
-            (xp_seg, af, al), _ = jax.lax.optimization_barrier(
-                ((xp_aug, awf, awl), tok))
-        else:
-            xp_seg, af, al = xp_aug, awf, awl
-        gathered = xp_seg[seg.cols]
-        sl = slice(seg.slot_lo, seg.slot_hi)
-        af = af[sl]
-        al = al[sl]
-        pad = seg.cols.shape[0] - (seg.slot_hi - seg.slot_lo)
-        if pad:
-            af = jnp.pad(af, ((0, pad), (0, 0)))
-            al = jnp.pad(al, ((0, pad), (0, 0)))
-        ns = af.shape[0]
-        w = jnp.concatenate(
-            [jnp.repeat(af, feat, axis=1).reshape(ns, num_heads, feat),
-             al[:, :, None]], axis=2).reshape(ns, num_heads * f1p)
-        if f_pad != num_heads * f1p:
-            w = jnp.pad(w, ((0, 0), (0, f_pad - num_heads * f1p)))
-        weighted = gathered * w.astype(gathered.dtype)
-        fn = _seg_fn(int(seg.ctr.shape[0]), seg.rb_hi - seg.rb_lo, gs.tile,
-                     gs.e_b, gs.kb, f_pad, exact, interpret)
-        out_seg = fn(seg.ctr, seg.rows, seg.vals, weighted)
-        parts.append(out_seg)
-        tok = out_seg[0, 0]
-    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
 
 def _augx(x, xb, num_heads: int, feat: int) -> jax.Array:
@@ -293,11 +305,11 @@ def _make_attention(ga: GatherAttn, num_heads: int, feat: int,
 
     def _fwd_parts(f1, f2, h, m):
         _, p, _ = _edge_terms(f1, f2)
-        awf = _scatter_alpha(ga.slot2edge_fwd, p * m)
-        awl = _scatter_alpha(ga.slot2edge_fwd, p)
-        out_aug = _weighted_combine_aug(
-            ga.fwd, awf, awl, _prep(_ones_aug(h), f_pad_aug),
-            num_heads, feat, exact, interpret)[: ga.n, :hf1]
+        wx = _expand_edge_weights_aug(p * m, p, num_heads, feat,
+                                      f_pad_aug, exact)
+        out_aug = _weighted_combine(
+            ga.fwd, ga.slot2edge_fwd, wx, _prep(_ones_aug(h), f_pad_aug),
+            exact, interpret)[: ga.n, :hf1]
         oa = out_aug.reshape(-1, num_heads, f1p)
         l = oa[..., feat]
         lhat = jnp.where(l == 0, 1.0, l)
@@ -325,24 +337,24 @@ def _make_attention(ga: GatherAttn, num_heads: int, feat: int,
         qm = q * m
         # dh: transpose combine, weights wf = p·m (source-row cotangents —
         # [num_src] rows on rectangular/distributed supports)
-        aw_b = _scatter_alpha(ga.slot2edge_bwd, p * m)
-        dh = _weighted_combine(ga.bwd, aw_b, _prep(gN, f_pad), num_heads,
-                               feat, exact, interpret)[: ga.num_src, :hf]
-        # df1 via forward tables
-        nt = _weighted_combine_aug(
-            ga.fwd, _scatter_alpha(ga.slot2edge_fwd, qm),
-            _scatter_alpha(ga.slot2edge_fwd, q),
-            _prep(_ones_aug(h), f_pad_aug),
-            num_heads, feat, exact, interpret)[: ga.n, :hf1]
+        wx_pm = _expand_edge_weights(p * m, num_heads, feat, f_pad, exact)
+        dh = _weighted_combine(ga.bwd, ga.slot2edge_bwd, wx_pm,
+                               _prep(gN, f_pad), exact,
+                               interpret)[: ga.num_src, :hf]
+        # df1 via forward tables; df2 via transpose tables — both weighted
+        # by (qm | q), ONE aug expansion serves both
+        wx_q = _expand_edge_weights_aug(qm, q, num_heads, feat, f_pad_aug,
+                                        exact)
+        nt = _weighted_combine(
+            ga.fwd, ga.slot2edge_fwd, wx_q,
+            _prep(_ones_aug(h), f_pad_aug), exact, interpret)[: ga.n, :hf1]
         nt3 = nt.reshape(-1, num_heads, f1p)
         df1 = (jnp.sum(gN.reshape(-1, num_heads, feat) * nt3[..., :feat],
                        axis=-1) + gl * nt3[..., feat])
-        # df2 via transpose tables
-        tt = _weighted_combine_aug(
-            ga.bwd, _scatter_alpha(ga.slot2edge_bwd, qm),
-            _scatter_alpha(ga.slot2edge_bwd, q),
-            _prep(_augx(gN, gl, num_heads, feat), f_pad_aug),
-            num_heads, feat, exact, interpret)[: ga.num_src, :hf1]
+        tt = _weighted_combine(
+            ga.bwd, ga.slot2edge_bwd, wx_q,
+            _prep(_augx(gN, gl, num_heads, feat), f_pad_aug), exact,
+            interpret)[: ga.num_src, :hf1]
         tt3 = tt.reshape(-1, num_heads, f1p)
         df2 = (jnp.sum(h.astype(jnp.float32).reshape(-1, num_heads, feat)
                        * tt3[..., :feat], axis=-1) + tt3[..., feat])
@@ -370,8 +382,8 @@ def _make_combine(ga: GatherAttn, num_heads: int, feat: int, exact: bool,
 
     @jax.custom_vjp
     def combine(alpha, h):
-        aw = _scatter_alpha(ga.slot2edge_fwd, alpha)
-        out = _weighted_combine(ga.fwd, aw, _prep_x(h), num_heads, feat,
+        wx = _expand_edge_weights(alpha, num_heads, feat, f_pad, exact)
+        out = _weighted_combine(ga.fwd, ga.slot2edge_fwd, wx, _prep_x(h),
                                 exact, interpret)
         return out[: ga.n, :hf]
 
@@ -382,8 +394,8 @@ def _make_combine(ga: GatherAttn, num_heads: int, feat: int, exact: bool,
         alpha, h = res
         gf = g.astype(jnp.float32)
         # dh = (Aα)ᵀ @ g: same α, transpose tables (edges grouped by src)
-        aw_b = _scatter_alpha(ga.slot2edge_bwd, alpha)
-        dh = _weighted_combine(ga.bwd, aw_b, _prep_x(gf), num_heads, feat,
+        wx = _expand_edge_weights(alpha, num_heads, feat, f_pad, exact)
+        dh = _weighted_combine(ga.bwd, ga.slot2edge_bwd, wx, _prep_x(gf),
                                exact, interpret)[: ga.num_src, :hf]
         # dα_e[h] = g[row_e, h·feat:..] · hproj[col_e, h·feat:..] — an
         # edge-major SDDMM: two gathers + per-head contraction

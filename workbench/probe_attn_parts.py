@@ -103,23 +103,27 @@ def make_fns(precision):
 
     @jax.jit
     def dh_pass(ga, alpha, g):
-        aw_b = pag._scatter_alpha(ga.slot2edge_bwd, alpha)
-        return pag._weighted_combine(ga.bwd, aw_b, _prep(g, F_PAD, exact),
-                                     H, F, exact, False)
+        wx = pag._expand_edge_weights(alpha, H, F, F_PAD, exact)
+        return pag._weighted_combine(ga.bwd, ga.slot2edge_bwd, wx,
+                                     _prep(g, F_PAD, exact), exact, False)
 
     @jax.jit
     def df1_pass(ga, alpha, h):
-        aw = pag._scatter_alpha(ga.slot2edge_fwd, alpha)
+        wx = pag._expand_edge_weights_aug(alpha, alpha, H, F, F_PAD_AUG,
+                                          exact)
         xa = pag._augx(h, jnp.ones((h.shape[0], H), jnp.float32), H, F)
-        return pag._weighted_combine_aug(
-            ga.fwd, aw, aw, _prep(xa, F_PAD_AUG, exact), H, F, exact, False)
+        return pag._weighted_combine(ga.fwd, ga.slot2edge_fwd, wx,
+                                     _prep(xa, F_PAD_AUG, exact), exact,
+                                     False)
 
     @jax.jit
     def df2_pass(ga, alpha, gN, gl):
-        aw = pag._scatter_alpha(ga.slot2edge_bwd, alpha)
+        wx = pag._expand_edge_weights_aug(alpha, alpha, H, F, F_PAD_AUG,
+                                          exact)
         xa = pag._augx(gN, gl, H, F)
-        return pag._weighted_combine_aug(
-            ga.bwd, aw, aw, _prep(xa, F_PAD_AUG, exact), H, F, exact, False)
+        return pag._weighted_combine(ga.bwd, ga.slot2edge_bwd, wx,
+                                     _prep(xa, F_PAD_AUG, exact), exact,
+                                     False)
 
     @jax.jit
     def full_fwd(ga, f1, f2, h):
