@@ -82,6 +82,17 @@ class GatherAttn:
     # docs/bench_attn_parts.json)
     slot2edge_fwd: jax.Array  # [total_slots_fwd] int32
     slot2edge_bwd: jax.Array  # [total_slots_bwd] int32
+    # slot-space edge endpoints: the edge at fwd slot s runs
+    # rows_sf[s] → cols_sf[s] (padding slots → (0, 0), killed by the
+    # chunk tables' zero vals). These let every per-edge score/weight be
+    # computed DIRECTLY in slot order from small node-space tables — no
+    # [E, H] intermediate (×16 HBM-padded) and no slot2edge weight gather
+    # (docs/bench_attn_parts.json: that gather alone cost 14.7 ms at 120K
+    # because its source table is E-sized)
+    rows_sf: jax.Array = None  # [total_slots_fwd] int32
+    cols_sf: jax.Array = None
+    rows_sb: jax.Array = None  # [total_slots_bwd] int32
+    cols_sb: jax.Array = None
     n: int = struct.field(pytree_node=False, default=0)
     num_edges: int = struct.field(pytree_node=False, default=0)
     # source-row count for RECTANGULAR supports (dest rows × source rows):
@@ -129,8 +140,17 @@ def build_gatherattn(csr, tile: int = 512, e_b: int = 128,
         s2e[slots] = np.arange(E, dtype=np.int32)
         return jnp.asarray(s2e)
 
+    def endpoints(slots, total):
+        rs = np.zeros(total, np.int32)
+        cs = np.zeros(total, np.int32)
+        rs[slots] = r
+        cs[slots] = c
+        return jnp.asarray(rs), jnp.asarray(cs)
+
     tot_f = max(s.slot_hi for s in gs_f.segments)
     tot_b = max(s.slot_hi for s in gs_b.segments)
+    rsf, csf = endpoints(slot_f, tot_f)
+    rsb, csb = endpoints(slot_b, tot_b)
     return GatherAttn(
         fwd=gs_f, bwd=gs_b,
         rows=jnp.asarray(r, jnp.int32), cols=jnp.asarray(c, jnp.int32),
@@ -138,86 +158,87 @@ def build_gatherattn(csr, tile: int = 512, e_b: int = 128,
         slot_bwd=jnp.asarray(slot_b, jnp.int32),
         slot2edge_fwd=inv(slot_f, tot_f),
         slot2edge_bwd=inv(slot_b, tot_b),
+        rows_sf=rsf, cols_sf=csf, rows_sb=rsb, cols_sb=csb,
         n=n, num_edges=E, n_src=0 if m == n else m,
     )
 
 
-def _expand_edge_weights(w_e: jax.Array, num_heads: int, feat: int,
-                         f_pad: int, exact: bool) -> jax.Array:
-    """[E, H] per-edge per-head weights → [E+1, f_pad] head-blocked lane
-    expansion (head h's weight replicated over its ``feat`` lanes, zeros
-    beyond ``H·feat``) with a trailing all-zero row — index ``E`` is the
-    padding-slot sentinel the ``slot2edge`` maps point at.
-
-    The expansion is an MXU one-hot dot: the naive per-lane ``repeat``
-    lowers to a lane shuffle XLA executes ~8× slower than the whole
-    combine kernel (measured: 20.7 of the 29.2 ms combine pass at 120K,
-    docs/bench_attn_parts.json parts_120k). The one-hot operand is exact
-    in bf16, so HIGHEST precision reproduces f32 weights exactly."""
+def _sel_plain(num_heads: int, feat: int, f_pad: int) -> np.ndarray:
+    """One-hot [H, f_pad]: lane ``l`` reads head ``l // feat`` (zeros past
+    ``H·feat``) — the head-blocked plain layout."""
     lanes = np.arange(f_pad)
-    oh = (((lanes[None, :] // feat) == np.arange(num_heads)[:, None])
-          & (lanes[None, :] < num_heads * feat))
-    wz = jnp.concatenate(
-        [w_e.astype(jnp.float32), jnp.zeros((1, w_e.shape[1]),
-                                            jnp.float32)], axis=0)
-    return jnp.dot(wz, jnp.asarray(oh, jnp.float32),
-                   precision=jax.lax.Precision.HIGHEST if exact
-                   else jax.lax.Precision.DEFAULT)
+    return ((((lanes[None, :] // feat) == np.arange(num_heads)[:, None])
+             & (lanes[None, :] < num_heads * feat))).astype(np.float32)
 
 
-def _expand_edge_weights_aug(wf_e: jax.Array, wl_e: jax.Array,
-                             num_heads: int, feat: int, f_pad: int,
-                             exact: bool) -> jax.Array:
-    """Augmented-layout expansion: per head, ``feat`` lanes carry ``wf``
-    and the trailing lane carries ``wl`` (the ones-column weight); same
-    MXU one-hot construction and sentinel row as
-    :func:`_expand_edge_weights`."""
+def _sel_aug_full(num_heads: int, feat: int, f_pad: int) -> np.ndarray:
+    """One-hot [H, f_pad] for the AUGMENTED layout: ALL ``feat+1`` lanes
+    of head ``h``'s block (features + trailing ones-column) read head
+    ``h``."""
     f1p = feat + 1
     lanes = np.arange(f_pad)
-    head = lanes // f1p
-    trailing = (lanes % f1p) == feat
-    row = np.where(trailing, num_heads + head, head)
-    valid = lanes < num_heads * f1p
-    oh = np.zeros((2 * num_heads, f_pad), np.float32)
-    oh[row[valid], lanes[valid]] = 1.0
-    w = jnp.concatenate([wf_e.astype(jnp.float32),
-                         wl_e.astype(jnp.float32)], axis=1)  # [E, 2H]
-    wz = jnp.concatenate([w, jnp.zeros((1, 2 * num_heads), jnp.float32)],
-                         axis=0)
-    return jnp.dot(wz, jnp.asarray(oh),
-                   precision=jax.lax.Precision.HIGHEST if exact
-                   else jax.lax.Precision.DEFAULT)
+    return ((((lanes[None, :] // f1p) == np.arange(num_heads)[:, None])
+             & (lanes[None, :] < num_heads * f1p))).astype(np.float32)
 
 
-def _weighted_combine(gs: GScatter, s2e: jax.Array, wx: jax.Array,
-                      xp: jax.Array, exact: bool,
-                      interpret: bool) -> jax.Array:
-    """``out = Aw @ x`` over gscatter tables with traced per-edge weights
-    already lane-EXPANDED on the edge table: ``wx`` is [E+1, f_pad] (from
-    :func:`_expand_edge_weights` / ``_aug``; row E all-zero) and ``s2e``
-    the slot→edge inverse map (padding slots → E). Per segment the slot
-    weights are a GATHER ``wx[s2e_seg]`` — near-sequential (slots follow
-    CSR edge order) and fusable into the multiply, replacing the old
-    [slots, H] fill + lane-shuffle ``repeat`` whose relayout dominated
-    the pass (docs/bench_attn_parts.json parts_120k). ``xp`` is
-    [n, f_pad] f32 (exact) or bf16. Returns [rb_total*tile, f_pad] f32."""
+def _sel_aug_feat(num_heads: int, feat: int, f_pad: int) -> np.ndarray:
+    """Aug-layout one-hot covering ONLY the feature lanes (the dropout
+    mask multiplies the numerator, never the trailing denominator)."""
+    f1p = feat + 1
+    lanes = np.arange(f_pad)
+    oh = _sel_aug_full(num_heads, feat, f_pad)
+    oh[:, (lanes % f1p) == feat] = 0.0
+    return oh
+
+
+def _trail_aug(num_heads: int, feat: int, f_pad: int) -> np.ndarray:
+    """[1, f_pad] ones at the aug layout's trailing (denominator) lanes."""
+    f1p = feat + 1
+    lanes = np.arange(f_pad)
+    t = ((lanes % f1p) == feat) & (lanes < num_heads * f1p)
+    return t.astype(np.float32)[None, :]
+
+
+def _expand_node(x: jax.Array, oh) -> jax.Array:
+    """[n, H] per-node per-head values → [n, f_pad] lane expansion via an
+    MXU one-hot dot (exact at HIGHEST: the one-hot operand is bf16-exact;
+    a per-lane ``repeat`` lowers to a lane shuffle XLA executes ~8×
+    slower — docs/bench_attn_parts.json parts_120k)."""
+    return jnp.dot(x.astype(jnp.float32), jnp.asarray(oh),
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+def _slicepad(arr: jax.Array, lo: int, hi: int, pad_to: int,
+              pad_value=0) -> jax.Array:
+    idx = jax.lax.slice_in_dim(arr, lo, hi, axis=0)
+    if pad_to > hi - lo:
+        cfg = [(0, pad_to - (hi - lo))] + [(0, 0)] * (arr.ndim - 1)
+        idx = jnp.pad(idx, cfg, constant_values=pad_value)
+    return idx
+
+
+def _weighted_combine(gs: GScatter, wtables, wfn, xp: jax.Array,
+                      exact: bool, interpret: bool) -> jax.Array:
+    """``out = Aw @ x`` over gscatter tables with traced per-slot weights
+    built PER SEGMENT by ``wfn(wtables, slot_lo, slot_hi, padded_len) →
+    [padded_len, f_pad]``. The builder computes each segment's weight
+    block directly in slot order from small node-space tables (slot-direct
+    — no [E, H] ×16-HBM-padded intermediates, no E-sized-table gathers);
+    ``wtables`` rides the inter-segment optimization_barrier so only one
+    segment's multi-GB weight/gather transients are live at a time. ``xp``
+    is [n, f_pad] f32 (exact) or bf16.
+    Returns [rb_total*tile, f_pad] f32."""
     f_pad = xp.shape[1]
-    sentinel = wx.shape[0] - 1
     parts = []
     tok = None
     for seg in gs.segments:
         if tok is not None:
-            (xp_seg, wx_seg, s2e_seg), _ = jax.lax.optimization_barrier(
-                ((xp, wx, s2e), tok))
+            (xp_seg, wt_seg), _ = jax.lax.optimization_barrier(
+                ((xp, wtables), tok))
         else:
-            xp_seg, wx_seg, s2e_seg = xp, wx, s2e
+            xp_seg, wt_seg = xp, wtables
         gathered = xp_seg[seg.cols]  # [padded_slots, f_pad]
-        idx = jax.lax.slice_in_dim(s2e_seg, seg.slot_lo, seg.slot_hi,
-                                   axis=0)
-        pad = seg.cols.shape[0] - (seg.slot_hi - seg.slot_lo)
-        if pad:
-            idx = jnp.pad(idx, (0, pad), constant_values=sentinel)
-        w = wx_seg[idx]
+        w = wfn(wt_seg, seg.slot_lo, seg.slot_hi, int(seg.cols.shape[0]))
         weighted = gathered * w.astype(gathered.dtype)
         fn = _seg_fn(int(seg.ctr.shape[0]), seg.rb_hi - seg.rb_lo, gs.tile,
                      gs.e_b, gs.kb, f_pad, exact, interpret)
@@ -225,6 +246,23 @@ def _weighted_combine(gs: GScatter, s2e: jax.Array, wx: jax.Array,
         parts.append(out_seg)
         tok = out_seg[0, 0]
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+
+def _wfn_edge_table(wx: jax.Array, s2e: jax.Array, exact: bool):
+    """Weight builder from an [E+1, f_pad] edge-expanded table routed
+    through the slot2edge map (used where per-edge weights exist only as
+    an explicit tensor, e.g. :func:`_make_combine`'s α input). The main
+    attention path computes weights slot-direct instead — this builder's
+    E-sized-table gather costs ~14.7 ms at 120K."""
+    if not exact:
+        wx = wx.astype(jnp.bfloat16)
+    sentinel = wx.shape[0] - 1
+
+    def fn(tabs, lo, hi, pad_to):
+        wx_, s2e_ = tabs
+        return wx_[_slicepad(s2e_, lo, hi, pad_to, sentinel)]
+
+    return (wx, s2e), fn
 
 
 def _scatter_alpha(slot2edge: jax.Array, alpha: jax.Array) -> jax.Array:
@@ -278,7 +316,10 @@ def _make_attention(ga: GatherAttn, num_heads: int, feat: int,
     hf1 = num_heads * f1p
     f_pad_aug = max(F_TILE, -(-hf1 // F_TILE) * F_TILE)
     f_pad = max(F_TILE, -(-hf // F_TILE) * F_TILE)
-    rows, cols = ga.rows, ga.cols
+    oh_plain = _sel_plain(num_heads, feat, f_pad)
+    oh_aug = _sel_aug_full(num_heads, feat, f_pad_aug)
+    oh_aug_feat = _sel_aug_feat(num_heads, feat, f_pad_aug)
+    trail = _trail_aug(num_heads, feat, f_pad_aug)
 
     def _prep(x, width):
         xp = x.astype(jnp.float32)
@@ -288,28 +329,71 @@ def _make_attention(ga: GatherAttn, num_heads: int, feat: int,
             xp = xp.astype(jnp.bfloat16)
         return xp
 
-    def _edge_terms(f1, f2):
+    def _node_tables(f1, f2, oh):
+        """Lane-expanded node-space score tables: everything per-edge is
+        then computable in SLOT order with three small-table row gathers
+        — no [E, H] intermediates at all."""
         f1f, f2f = f1.astype(jnp.float32), f2.astype(jnp.float32)
-        s = f1f[rows] + f2f[cols]
-        t = jnp.where(s >= 0, s, slope * s)
         b = f1f + jnp.max(f2f, axis=0, keepdims=True)
         b = jnp.where(b >= 0, b, slope * b)
-        z = t - b[rows]
-        live = z > -60.0  # f32-underflow guard; see gat_attention_gather
-        p = jnp.exp(jnp.maximum(z, -60.0))
-        return s, p, live
+        return _expand_node(f1f, oh), _expand_node(f2f, oh), \
+            _expand_node(b, oh)
+
+    def _m_slots(m, slot2edge):
+        """Dropout mask routed to slot space ([S, H]; only when a real
+        mask is present — ones arrive as the static (1, 1) sentinel)."""
+        if m.shape == (1, 1):
+            return None
+        return _scatter_alpha(slot2edge, m)
+
+    def _score_wfn(rows_s, cols_s, mslots, oh_mask, aug: bool,
+                   want_q: bool):
+        """Slot-direct weight builder: per segment, gather the expanded
+        node tables at the slot endpoints and evaluate the softmax chain
+        in full-lane layout. ``aug``: trailing lanes carry the UNMASKED
+        numerator weight (the denominator / ones-column); the mask factor
+        multiplies feature lanes only."""
+        def fn(tabs, lo, hi, pad_to):
+            f1x, f2x, bx, rs_all, cs_all, ms = tabs
+            rs = _slicepad(rs_all, lo, hi, pad_to)
+            cs = _slicepad(cs_all, lo, hi, pad_to)
+            sx = f1x[rs] + f2x[cs]
+            zx = jnp.where(sx >= 0, sx, slope * sx) - bx[rs]
+            px = jnp.exp(jnp.maximum(zx, -60.0))
+            if want_q:  # q = lrelu'(s)·p, zeroed on clamped edges
+                px = jnp.where(sx >= 0, 1.0, slope) \
+                    * jnp.where(zx > -60.0, px, 0.0)
+            if ms is not None:
+                mseg = _slicepad(ms, lo, hi, pad_to)
+                mx = _expand_node(mseg, oh_mask)
+                if aug:
+                    mx = mx + jnp.asarray(trail)
+                px = px * mx
+            return px
+
+        return (rows_s, cols_s), fn
+
+    def _run(gs, rows_s, cols_s, slot2edge, m, x, width, *, aug, want_q):
+        f1x, f2x, bx = _tabs[("aug" if aug else "plain")]
+        ms = _m_slots(m, slot2edge)
+        (rc, cc), fn = _score_wfn(rows_s, cols_s, ms,
+                                  oh_aug_feat if aug else oh_plain,
+                                  aug, want_q)
+        wtables = (f1x, f2x, bx, rc, cc, ms)
+        return _weighted_combine(gs, wtables, fn, _prep(x, width), exact,
+                                 interpret)
 
     def _ones_aug(h):
         return _augx(h, jnp.ones((h.shape[0], num_heads), jnp.float32),
                      num_heads, feat)
 
+    _tabs = {}
+
     def _fwd_parts(f1, f2, h, m):
-        _, p, _ = _edge_terms(f1, f2)
-        wx = _expand_edge_weights_aug(p * m, p, num_heads, feat,
-                                      f_pad_aug, exact)
-        out_aug = _weighted_combine(
-            ga.fwd, ga.slot2edge_fwd, wx, _prep(_ones_aug(h), f_pad_aug),
-            exact, interpret)[: ga.n, :hf1]
+        _tabs["aug"] = _node_tables(f1, f2, oh_aug)
+        out_aug = _run(ga.fwd, ga.rows_sf, ga.cols_sf, ga.slot2edge_fwd,
+                       m, _ones_aug(h), f_pad_aug, aug=True,
+                       want_q=False)[: ga.n, :hf1]
         oa = out_aug.reshape(-1, num_heads, f1p)
         l = oa[..., feat]
         lhat = jnp.where(l == 0, 1.0, l)
@@ -332,29 +416,23 @@ def _make_attention(ga: GatherAttn, num_heads: int, feat: int,
         out3 = out.astype(jnp.float32).reshape(-1, num_heads, feat)
         gN = (G3 / lhat[..., None]).reshape(-1, hf)
         gl = -jnp.sum(G3 * out3, axis=-1) / lhat
-        s, p, live = _edge_terms(f1, f2)
-        q = jnp.where(s >= 0, 1.0, slope) * jnp.where(live, p, 0.0)
-        qm = q * m
-        # dh: transpose combine, weights wf = p·m (source-row cotangents —
+        _tabs["plain"] = _node_tables(f1, f2, oh_plain)
+        _tabs["aug"] = _node_tables(f1, f2, oh_aug)
+        # dh: transpose combine, weights p·m (source-row cotangents —
         # [num_src] rows on rectangular/distributed supports)
-        wx_pm = _expand_edge_weights(p * m, num_heads, feat, f_pad, exact)
-        dh = _weighted_combine(ga.bwd, ga.slot2edge_bwd, wx_pm,
-                               _prep(gN, f_pad), exact,
-                               interpret)[: ga.num_src, :hf]
+        dh = _run(ga.bwd, ga.rows_sb, ga.cols_sb, ga.slot2edge_bwd, m,
+                  gN, f_pad, aug=False, want_q=False)[: ga.num_src, :hf]
         # df1 via forward tables; df2 via transpose tables — both weighted
-        # by (qm | q), ONE aug expansion serves both
-        wx_q = _expand_edge_weights_aug(qm, q, num_heads, feat, f_pad_aug,
-                                        exact)
-        nt = _weighted_combine(
-            ga.fwd, ga.slot2edge_fwd, wx_q,
-            _prep(_ones_aug(h), f_pad_aug), exact, interpret)[: ga.n, :hf1]
+        # (q·m | q) in the aug layout, recomputed slot-direct per space
+        nt = _run(ga.fwd, ga.rows_sf, ga.cols_sf, ga.slot2edge_fwd, m,
+                  _ones_aug(h), f_pad_aug, aug=True,
+                  want_q=True)[: ga.n, :hf1]
         nt3 = nt.reshape(-1, num_heads, f1p)
         df1 = (jnp.sum(gN.reshape(-1, num_heads, feat) * nt3[..., :feat],
                        axis=-1) + gl * nt3[..., feat])
-        tt = _weighted_combine(
-            ga.bwd, ga.slot2edge_bwd, wx_q,
-            _prep(_augx(gN, gl, num_heads, feat), f_pad_aug), exact,
-            interpret)[: ga.num_src, :hf1]
+        tt = _run(ga.bwd, ga.rows_sb, ga.cols_sb, ga.slot2edge_bwd, m,
+                  _augx(gN, gl, num_heads, feat), f_pad_aug, aug=True,
+                  want_q=True)[: ga.num_src, :hf1]
         tt3 = tt.reshape(-1, num_heads, f1p)
         df2 = (jnp.sum(h.astype(jnp.float32).reshape(-1, num_heads, feat)
                        * tt3[..., :feat], axis=-1) + tt3[..., feat])
@@ -380,11 +458,23 @@ def _make_combine(ga: GatherAttn, num_heads: int, feat: int, exact: bool,
             xp = xp.astype(jnp.bfloat16)
         return xp
 
+    oh_plain = _sel_plain(num_heads, feat, f_pad)
+
+    def _alpha_table(alpha):
+        """α [E, H] → [E+1, f_pad] lane-expanded edge table (zero sentinel
+        row) for the slot2edge-routed builder — the explicit-α utility
+        path; the fused attention computes weights slot-direct instead."""
+        az = jnp.concatenate(
+            [alpha.astype(jnp.float32), jnp.zeros((1, alpha.shape[1]),
+                                                  jnp.float32)], axis=0)
+        return _expand_node(az, oh_plain)
+
     @jax.custom_vjp
     def combine(alpha, h):
-        wx = _expand_edge_weights(alpha, num_heads, feat, f_pad, exact)
-        out = _weighted_combine(ga.fwd, ga.slot2edge_fwd, wx, _prep_x(h),
-                                exact, interpret)
+        tabs, fn = _wfn_edge_table(_alpha_table(alpha), ga.slot2edge_fwd,
+                                   exact)
+        out = _weighted_combine(ga.fwd, tabs, fn, _prep_x(h), exact,
+                                interpret)
         return out[: ga.n, :hf]
 
     def combine_fwd(alpha, h):
@@ -394,9 +484,10 @@ def _make_combine(ga: GatherAttn, num_heads: int, feat: int, exact: bool,
         alpha, h = res
         gf = g.astype(jnp.float32)
         # dh = (Aα)ᵀ @ g: same α, transpose tables (edges grouped by src)
-        wx = _expand_edge_weights(alpha, num_heads, feat, f_pad, exact)
-        dh = _weighted_combine(ga.bwd, ga.slot2edge_bwd, wx, _prep_x(gf),
-                               exact, interpret)[: ga.num_src, :hf]
+        tabs, fn = _wfn_edge_table(_alpha_table(alpha), ga.slot2edge_bwd,
+                                   exact)
+        dh = _weighted_combine(ga.bwd, tabs, fn, _prep_x(gf), exact,
+                               interpret)[: ga.num_src, :hf]
         # dα_e[h] = g[row_e, h·feat:..] · hproj[col_e, h·feat:..] — an
         # edge-major SDDMM: two gathers + per-head contraction
         gg = gf[ga.rows].reshape(ga.num_edges, num_heads, feat)
