@@ -60,8 +60,6 @@ class StackedGatherTables:
     cols: jax.Array   # [D, nsteps*kb*e_b] int32
     vals: jax.Array   # [D, nsteps*kb, e_b] float32
     s2e: jax.Array    # [D, nsteps*kb*e_b] int32 slot→edge (pad → e_pad)
-    rows_s: jax.Array  # [D, nsteps*kb*e_b] int32 slot-space dest (pad → 0)
-    cols_s: jax.Array  # [D, nsteps*kb*e_b] int32 slot-space src (pad → 0)
     n_rows: int = struct.field(pytree_node=False)
     n_cols: int = struct.field(pytree_node=False)
     rb: int = struct.field(pytree_node=False)
@@ -114,22 +112,24 @@ class DistGatherAttn:
     axis: str = struct.field(pytree_node=False, default=GRAPH_AXIS)
 
     def local(self) -> DistAttnShard:
-        def strip(t):
-            return StackedGatherTables(
-                ctr=t.ctr[0], rows=t.rows[0], cols=t.cols[0],
-                vals=t.vals[0], s2e=t.s2e[0], rows_s=t.rows_s[0],
-                cols_s=t.cols_s[0], n_rows=t.n_rows, n_cols=t.n_cols,
-                rb=t.rb)
-
-        f, b = strip(self.fwd), strip(self.bwd)
         ga = GatherAttn(
-            fwd=_local_gs(f, self.tile, self.e_b, self.kb),
-            bwd=_local_gs(b, self.tile, self.e_b, self.kb),
+            fwd=_local_gs(
+                StackedGatherTables(
+                    ctr=self.fwd.ctr[0], rows=self.fwd.rows[0],
+                    cols=self.fwd.cols[0], vals=self.fwd.vals[0],
+                    s2e=self.fwd.s2e[0], n_rows=self.fwd.n_rows,
+                    n_cols=self.fwd.n_cols, rb=self.fwd.rb),
+                self.tile, self.e_b, self.kb),
+            bwd=_local_gs(
+                StackedGatherTables(
+                    ctr=self.bwd.ctr[0], rows=self.bwd.rows[0],
+                    cols=self.bwd.cols[0], vals=self.bwd.vals[0],
+                    s2e=self.bwd.s2e[0], n_rows=self.bwd.n_rows,
+                    n_cols=self.bwd.n_cols, rb=self.bwd.rb),
+                self.tile, self.e_b, self.kb),
             rows=self.rows_e[0], cols=self.cols_e[0],
             slot_fwd=self.s2e_pass[0], slot_bwd=self.s2e_pass[0],
-            slot2edge_fwd=f.s2e, slot2edge_bwd=b.s2e,
-            rows_sf=f.rows_s, cols_sf=f.cols_s,
-            rows_sb=b.rows_s, cols_sb=b.cols_s,
+            slot2edge_fwd=self.fwd.s2e[0], slot2edge_bwd=self.bwd.s2e[0],
             n=self.n_local, num_edges=self.e_pad, n_src=self.n_cat,
         )
         return DistAttnShard(attn=ga, send_idx=self.send_idx[0],
@@ -159,8 +159,6 @@ def _pack_shard_tables(gas, orient: str, n_rows: int, n_cols: int,
     cols = np.zeros((D, nsteps * kb * e_b), np.int32)
     vals = np.zeros((D, nsteps * kb, e_b), np.float32)
     s2e = np.empty((D, nsteps * kb * e_b), np.int32)
-    rows_s = np.zeros((D, nsteps * kb * e_b), np.int32)
-    cols_s = np.zeros((D, nsteps * kb * e_b), np.int32)
     for d, (ga, seg) in enumerate(zip(gas, segs)):
         k = int(seg.ctr.shape[0])
         ctr[d, :k] = np.asarray(seg.ctr)
@@ -173,14 +171,9 @@ def _pack_shard_tables(gas, orient: str, n_rows: int, n_cols: int,
         s2e[d] = e_pads
         slot = np.asarray(ga.slot_fwd if orient == "fwd" else ga.slot_bwd)
         s2e[d, slot] = np.arange(len(slot), dtype=np.int32)
-        # slot-space edge endpoints for the slot-direct score chain
-        # (padding slots (0, 0) — killed by the zero vals)
-        rows_s[d, slot] = np.asarray(ga.rows)
-        cols_s[d, slot] = np.asarray(ga.cols)
     return StackedGatherTables(
         ctr=jnp.asarray(ctr), rows=jnp.asarray(rows), cols=jnp.asarray(cols),
         vals=jnp.asarray(vals), s2e=jnp.asarray(s2e),
-        rows_s=jnp.asarray(rows_s), cols_s=jnp.asarray(cols_s),
         n_rows=n_rows, n_cols=n_cols, rb=rb,
     )
 

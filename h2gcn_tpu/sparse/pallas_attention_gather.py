@@ -16,16 +16,12 @@ does:
   * **combine (Pallas, MXU)**: ``out_i = Σ_e α_e · h[col_e]`` is exactly a
     gather-scatter SpMM with DYNAMIC per-edge values — the
     :mod:`pallas_gscatter` chunk tables are built once per graph
-    (``build_gscatter_coo(return_slots=True)`` exposes the edge→slot map).
-    Per-edge weights are lane-EXPANDED on the E-sized edge table with one
-    MXU one-hot dot (:func:`_expand_edge_weights`) and reach the slot
-    space as a near-sequential gather through the ``slot2edge`` inverse
-    map, fused into the weighting multiply; the one-hot MXU scatter
-    kernel is reused unchanged. (The previous slot-space fill + per-lane
-    ``repeat`` lowered to a lane shuffle that DOMINATED the combine —
-    20.7 of 29.2 ms at 120K, docs/bench_attn_parts.json parts_120k.)
-    Chunks here are per destination 512-row stripe, so slot occupancy is
-    ~90%+ instead of ~5%.
+    (``build_gscatter_coo(return_slots=True)`` exposes the edge→slot map)
+    and α is scattered into the padded slot space at trace time; the
+    weighting happens edge-major in XLA (per-head α broadcast over the
+    head's feature slice), the one-hot MXU scatter kernel is reused
+    unchanged. Chunks here are per destination 512-row stripe, so slot
+    occupancy is ~90%+ instead of ~5%.
 
 NEITHER direction runs any segment op: the whole attention is one custom
 VJP (:func:`_make_attention`). The forward's softmax denominator comes out
@@ -82,17 +78,6 @@ class GatherAttn:
     # docs/bench_attn_parts.json)
     slot2edge_fwd: jax.Array  # [total_slots_fwd] int32
     slot2edge_bwd: jax.Array  # [total_slots_bwd] int32
-    # slot-space edge endpoints: the edge at fwd slot s runs
-    # rows_sf[s] → cols_sf[s] (padding slots → (0, 0), killed by the
-    # chunk tables' zero vals). These let every per-edge score/weight be
-    # computed DIRECTLY in slot order from small node-space tables — no
-    # [E, H] intermediate (×16 HBM-padded) and no slot2edge weight gather
-    # (docs/bench_attn_parts.json: that gather alone cost 14.7 ms at 120K
-    # because its source table is E-sized)
-    rows_sf: jax.Array = None  # [total_slots_fwd] int32
-    cols_sf: jax.Array = None
-    rows_sb: jax.Array = None  # [total_slots_bwd] int32
-    cols_sb: jax.Array = None
     n: int = struct.field(pytree_node=False, default=0)
     num_edges: int = struct.field(pytree_node=False, default=0)
     # source-row count for RECTANGULAR supports (dest rows × source rows):
@@ -140,17 +125,8 @@ def build_gatherattn(csr, tile: int = 512, e_b: int = 128,
         s2e[slots] = np.arange(E, dtype=np.int32)
         return jnp.asarray(s2e)
 
-    def endpoints(slots, total):
-        rs = np.zeros(total, np.int32)
-        cs = np.zeros(total, np.int32)
-        rs[slots] = r
-        cs[slots] = c
-        return jnp.asarray(rs), jnp.asarray(cs)
-
     tot_f = max(s.slot_hi for s in gs_f.segments)
     tot_b = max(s.slot_hi for s in gs_b.segments)
-    rsf, csf = endpoints(slot_f, tot_f)
-    rsb, csb = endpoints(slot_b, tot_b)
     return GatherAttn(
         fwd=gs_f, bwd=gs_b,
         rows=jnp.asarray(r, jnp.int32), cols=jnp.asarray(c, jnp.int32),
@@ -158,87 +134,36 @@ def build_gatherattn(csr, tile: int = 512, e_b: int = 128,
         slot_bwd=jnp.asarray(slot_b, jnp.int32),
         slot2edge_fwd=inv(slot_f, tot_f),
         slot2edge_bwd=inv(slot_b, tot_b),
-        rows_sf=rsf, cols_sf=csf, rows_sb=rsb, cols_sb=csb,
         n=n, num_edges=E, n_src=0 if m == n else m,
     )
 
 
-def _sel_plain(num_heads: int, feat: int, f_pad: int) -> np.ndarray:
-    """One-hot [H, f_pad]: lane ``l`` reads head ``l // feat`` (zeros past
-    ``H·feat``) — the head-blocked plain layout."""
-    lanes = np.arange(f_pad)
-    return ((((lanes[None, :] // feat) == np.arange(num_heads)[:, None])
-             & (lanes[None, :] < num_heads * feat))).astype(np.float32)
-
-
-def _sel_aug_full(num_heads: int, feat: int, f_pad: int) -> np.ndarray:
-    """One-hot [H, f_pad] for the AUGMENTED layout: ALL ``feat+1`` lanes
-    of head ``h``'s block (features + trailing ones-column) read head
-    ``h``."""
-    f1p = feat + 1
-    lanes = np.arange(f_pad)
-    return ((((lanes[None, :] // f1p) == np.arange(num_heads)[:, None])
-             & (lanes[None, :] < num_heads * f1p))).astype(np.float32)
-
-
-def _sel_aug_feat(num_heads: int, feat: int, f_pad: int) -> np.ndarray:
-    """Aug-layout one-hot covering ONLY the feature lanes (the dropout
-    mask multiplies the numerator, never the trailing denominator)."""
-    f1p = feat + 1
-    lanes = np.arange(f_pad)
-    oh = _sel_aug_full(num_heads, feat, f_pad)
-    oh[:, (lanes % f1p) == feat] = 0.0
-    return oh
-
-
-def _trail_aug(num_heads: int, feat: int, f_pad: int) -> np.ndarray:
-    """[1, f_pad] ones at the aug layout's trailing (denominator) lanes."""
-    f1p = feat + 1
-    lanes = np.arange(f_pad)
-    t = ((lanes % f1p) == feat) & (lanes < num_heads * f1p)
-    return t.astype(np.float32)[None, :]
-
-
-def _expand_node(x: jax.Array, oh) -> jax.Array:
-    """[n, H] per-node per-head values → [n, f_pad] lane expansion via an
-    MXU one-hot dot (exact at HIGHEST: the one-hot operand is bf16-exact;
-    a per-lane ``repeat`` lowers to a lane shuffle XLA executes ~8×
-    slower — docs/bench_attn_parts.json parts_120k)."""
-    return jnp.dot(x.astype(jnp.float32), jnp.asarray(oh),
-                   precision=jax.lax.Precision.HIGHEST)
-
-
-def _slicepad(arr: jax.Array, lo: int, hi: int, pad_to: int,
-              pad_value=0) -> jax.Array:
-    idx = jax.lax.slice_in_dim(arr, lo, hi, axis=0)
-    if pad_to > hi - lo:
-        cfg = [(0, pad_to - (hi - lo))] + [(0, 0)] * (arr.ndim - 1)
-        idx = jnp.pad(idx, cfg, constant_values=pad_value)
-    return idx
-
-
-def _weighted_combine(gs: GScatter, wtables, wfn, xp: jax.Array,
-                      exact: bool, interpret: bool) -> jax.Array:
-    """``out = Aw @ x`` over gscatter tables with traced per-slot weights
-    built PER SEGMENT by ``wfn(wtables, slot_lo, slot_hi, padded_len) →
-    [padded_len, f_pad]``. The builder computes each segment's weight
-    block directly in slot order from small node-space tables (slot-direct
-    — no [E, H] ×16-HBM-padded intermediates, no E-sized-table gathers);
-    ``wtables`` rides the inter-segment optimization_barrier so only one
-    segment's multi-GB weight/gather transients are live at a time. ``xp``
-    is [n, f_pad] f32 (exact) or bf16.
-    Returns [rb_total*tile, f_pad] f32."""
+def _weighted_combine(gs: GScatter, aw: jax.Array, xp: jax.Array,
+                      num_heads: int, feat: int, exact: bool,
+                      interpret: bool) -> jax.Array:
+    """``out = Aα @ x`` over gscatter tables with traced per-edge per-head
+    weights ``aw: [total_slots, H]`` (padding slots zero). ``xp`` is
+    [n, f_pad] f32 (exact) or bf16. Returns [rb_total*tile, f_pad] f32."""
     f_pad = xp.shape[1]
     parts = []
     tok = None
     for seg in gs.segments:
+        xp_seg = seg_aw = None
         if tok is not None:
-            (xp_seg, wt_seg), _ = jax.lax.optimization_barrier(
-                ((xp, wtables), tok))
+            (xp_seg, seg_aw), _ = jax.lax.optimization_barrier(
+                ((xp, aw), tok))
         else:
-            xp_seg, wt_seg = xp, wtables
+            xp_seg, seg_aw = xp, aw
         gathered = xp_seg[seg.cols]  # [padded_slots, f_pad]
-        w = wfn(wt_seg, seg.slot_lo, seg.slot_hi, int(seg.cols.shape[0]))
+        a = jax.lax.slice_in_dim(seg_aw, seg.slot_lo, seg.slot_hi, axis=0)
+        pad = seg.cols.shape[0] - (seg.slot_hi - seg.slot_lo)
+        if pad:
+            a = jnp.pad(a, ((0, pad), (0, 0)))
+        # per-head α broadcast over the head's feature slice, then padded
+        # to the lane width; XLA fuses the repeat+pad into the multiply
+        w = jnp.repeat(a, feat, axis=1)
+        if f_pad != num_heads * feat:
+            w = jnp.pad(w, ((0, 0), (0, f_pad - num_heads * feat)))
         weighted = gathered * w.astype(gathered.dtype)
         fn = _seg_fn(int(seg.ctr.shape[0]), seg.rb_hi - seg.rb_lo, gs.tile,
                      gs.e_b, gs.kb, f_pad, exact, interpret)
@@ -246,23 +171,6 @@ def _weighted_combine(gs: GScatter, wtables, wfn, xp: jax.Array,
         parts.append(out_seg)
         tok = out_seg[0, 0]
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
-
-
-def _wfn_edge_table(wx: jax.Array, s2e: jax.Array, exact: bool):
-    """Weight builder from an [E+1, f_pad] edge-expanded table routed
-    through the slot2edge map (used where per-edge weights exist only as
-    an explicit tensor, e.g. :func:`_make_combine`'s α input). The main
-    attention path computes weights slot-direct instead — this builder's
-    E-sized-table gather costs ~14.7 ms at 120K."""
-    if not exact:
-        wx = wx.astype(jnp.bfloat16)
-    sentinel = wx.shape[0] - 1
-
-    def fn(tabs, lo, hi, pad_to):
-        wx_, s2e_ = tabs
-        return wx_[_slicepad(s2e_, lo, hi, pad_to, sentinel)]
-
-    return (wx, s2e), fn
 
 
 def _scatter_alpha(slot2edge: jax.Array, alpha: jax.Array) -> jax.Array:
@@ -273,6 +181,48 @@ def _scatter_alpha(slot2edge: jax.Array, alpha: jax.Array) -> jax.Array:
     az = jnp.concatenate(
         [alpha, jnp.zeros((1, alpha.shape[1]), alpha.dtype)], axis=0)
     return az[slot2edge]
+
+
+def _weighted_combine_aug(gs: GScatter, awf: jax.Array, awl: jax.Array,
+                          xp_aug: jax.Array, num_heads: int, feat: int,
+                          exact: bool, interpret: bool) -> jax.Array:
+    """Augmented combine: per head, ``feat`` feature columns weighted by
+    ``awf`` plus ONE trailing ones-column weighted by ``awl`` — so a
+    single kernel pass yields both the softmax numerator and the
+    denominator ``l_i = Σ_e p_e`` (the ones-column output). ``awf``/
+    ``awl`` are [total_slots, H]; they differ only under attention
+    dropout (numerator masked, denominator not)."""
+    f1p = feat + 1
+    f_pad = xp_aug.shape[1]
+    parts = []
+    tok = None
+    for seg in gs.segments:
+        if tok is not None:
+            (xp_seg, af, al), _ = jax.lax.optimization_barrier(
+                ((xp_aug, awf, awl), tok))
+        else:
+            xp_seg, af, al = xp_aug, awf, awl
+        gathered = xp_seg[seg.cols]
+        sl = slice(seg.slot_lo, seg.slot_hi)
+        af = af[sl]
+        al = al[sl]
+        pad = seg.cols.shape[0] - (seg.slot_hi - seg.slot_lo)
+        if pad:
+            af = jnp.pad(af, ((0, pad), (0, 0)))
+            al = jnp.pad(al, ((0, pad), (0, 0)))
+        ns = af.shape[0]
+        w = jnp.concatenate(
+            [jnp.repeat(af, feat, axis=1).reshape(ns, num_heads, feat),
+             al[:, :, None]], axis=2).reshape(ns, num_heads * f1p)
+        if f_pad != num_heads * f1p:
+            w = jnp.pad(w, ((0, 0), (0, f_pad - num_heads * f1p)))
+        weighted = gathered * w.astype(gathered.dtype)
+        fn = _seg_fn(int(seg.ctr.shape[0]), seg.rb_hi - seg.rb_lo, gs.tile,
+                     gs.e_b, gs.kb, f_pad, exact, interpret)
+        out_seg = fn(seg.ctr, seg.rows, seg.vals, weighted)
+        parts.append(out_seg)
+        tok = out_seg[0, 0]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
 
 def _augx(x, xb, num_heads: int, feat: int) -> jax.Array:
@@ -316,10 +266,7 @@ def _make_attention(ga: GatherAttn, num_heads: int, feat: int,
     hf1 = num_heads * f1p
     f_pad_aug = max(F_TILE, -(-hf1 // F_TILE) * F_TILE)
     f_pad = max(F_TILE, -(-hf // F_TILE) * F_TILE)
-    oh_plain = _sel_plain(num_heads, feat, f_pad)
-    oh_aug = _sel_aug_full(num_heads, feat, f_pad_aug)
-    oh_aug_feat = _sel_aug_feat(num_heads, feat, f_pad_aug)
-    trail = _trail_aug(num_heads, feat, f_pad_aug)
+    rows, cols = ga.rows, ga.cols
 
     def _prep(x, width):
         xp = x.astype(jnp.float32)
@@ -329,71 +276,28 @@ def _make_attention(ga: GatherAttn, num_heads: int, feat: int,
             xp = xp.astype(jnp.bfloat16)
         return xp
 
-    def _node_tables(f1, f2, oh):
-        """Lane-expanded node-space score tables: everything per-edge is
-        then computable in SLOT order with three small-table row gathers
-        — no [E, H] intermediates at all."""
+    def _edge_terms(f1, f2):
         f1f, f2f = f1.astype(jnp.float32), f2.astype(jnp.float32)
+        s = f1f[rows] + f2f[cols]
+        t = jnp.where(s >= 0, s, slope * s)
         b = f1f + jnp.max(f2f, axis=0, keepdims=True)
         b = jnp.where(b >= 0, b, slope * b)
-        return _expand_node(f1f, oh), _expand_node(f2f, oh), \
-            _expand_node(b, oh)
-
-    def _m_slots(m, slot2edge):
-        """Dropout mask routed to slot space ([S, H]; only when a real
-        mask is present — ones arrive as the static (1, 1) sentinel)."""
-        if m.shape == (1, 1):
-            return None
-        return _scatter_alpha(slot2edge, m)
-
-    def _score_wfn(rows_s, cols_s, mslots, oh_mask, aug: bool,
-                   want_q: bool):
-        """Slot-direct weight builder: per segment, gather the expanded
-        node tables at the slot endpoints and evaluate the softmax chain
-        in full-lane layout. ``aug``: trailing lanes carry the UNMASKED
-        numerator weight (the denominator / ones-column); the mask factor
-        multiplies feature lanes only."""
-        def fn(tabs, lo, hi, pad_to):
-            f1x, f2x, bx, rs_all, cs_all, ms = tabs
-            rs = _slicepad(rs_all, lo, hi, pad_to)
-            cs = _slicepad(cs_all, lo, hi, pad_to)
-            sx = f1x[rs] + f2x[cs]
-            zx = jnp.where(sx >= 0, sx, slope * sx) - bx[rs]
-            px = jnp.exp(jnp.maximum(zx, -60.0))
-            if want_q:  # q = lrelu'(s)·p, zeroed on clamped edges
-                px = jnp.where(sx >= 0, 1.0, slope) \
-                    * jnp.where(zx > -60.0, px, 0.0)
-            if ms is not None:
-                mseg = _slicepad(ms, lo, hi, pad_to)
-                mx = _expand_node(mseg, oh_mask)
-                if aug:
-                    mx = mx + jnp.asarray(trail)
-                px = px * mx
-            return px
-
-        return (rows_s, cols_s), fn
-
-    def _run(gs, rows_s, cols_s, slot2edge, m, x, width, *, aug, want_q):
-        f1x, f2x, bx = _tabs[("aug" if aug else "plain")]
-        ms = _m_slots(m, slot2edge)
-        (rc, cc), fn = _score_wfn(rows_s, cols_s, ms,
-                                  oh_aug_feat if aug else oh_plain,
-                                  aug, want_q)
-        wtables = (f1x, f2x, bx, rc, cc, ms)
-        return _weighted_combine(gs, wtables, fn, _prep(x, width), exact,
-                                 interpret)
+        z = t - b[rows]
+        live = z > -60.0  # f32-underflow guard; see gat_attention_gather
+        p = jnp.exp(jnp.maximum(z, -60.0))
+        return s, p, live
 
     def _ones_aug(h):
         return _augx(h, jnp.ones((h.shape[0], num_heads), jnp.float32),
                      num_heads, feat)
 
-    _tabs = {}
-
     def _fwd_parts(f1, f2, h, m):
-        _tabs["aug"] = _node_tables(f1, f2, oh_aug)
-        out_aug = _run(ga.fwd, ga.rows_sf, ga.cols_sf, ga.slot2edge_fwd,
-                       m, _ones_aug(h), f_pad_aug, aug=True,
-                       want_q=False)[: ga.n, :hf1]
+        _, p, _ = _edge_terms(f1, f2)
+        awf = _scatter_alpha(ga.slot2edge_fwd, p * m)
+        awl = _scatter_alpha(ga.slot2edge_fwd, p)
+        out_aug = _weighted_combine_aug(
+            ga.fwd, awf, awl, _prep(_ones_aug(h), f_pad_aug),
+            num_heads, feat, exact, interpret)[: ga.n, :hf1]
         oa = out_aug.reshape(-1, num_heads, f1p)
         l = oa[..., feat]
         lhat = jnp.where(l == 0, 1.0, l)
@@ -416,23 +320,29 @@ def _make_attention(ga: GatherAttn, num_heads: int, feat: int,
         out3 = out.astype(jnp.float32).reshape(-1, num_heads, feat)
         gN = (G3 / lhat[..., None]).reshape(-1, hf)
         gl = -jnp.sum(G3 * out3, axis=-1) / lhat
-        _tabs["plain"] = _node_tables(f1, f2, oh_plain)
-        _tabs["aug"] = _node_tables(f1, f2, oh_aug)
-        # dh: transpose combine, weights p·m (source-row cotangents —
+        s, p, live = _edge_terms(f1, f2)
+        q = jnp.where(s >= 0, 1.0, slope) * jnp.where(live, p, 0.0)
+        qm = q * m
+        # dh: transpose combine, weights wf = p·m (source-row cotangents —
         # [num_src] rows on rectangular/distributed supports)
-        dh = _run(ga.bwd, ga.rows_sb, ga.cols_sb, ga.slot2edge_bwd, m,
-                  gN, f_pad, aug=False, want_q=False)[: ga.num_src, :hf]
-        # df1 via forward tables; df2 via transpose tables — both weighted
-        # (q·m | q) in the aug layout, recomputed slot-direct per space
-        nt = _run(ga.fwd, ga.rows_sf, ga.cols_sf, ga.slot2edge_fwd, m,
-                  _ones_aug(h), f_pad_aug, aug=True,
-                  want_q=True)[: ga.n, :hf1]
+        aw_b = _scatter_alpha(ga.slot2edge_bwd, p * m)
+        dh = _weighted_combine(ga.bwd, aw_b, _prep(gN, f_pad), num_heads,
+                               feat, exact, interpret)[: ga.num_src, :hf]
+        # df1 via forward tables
+        nt = _weighted_combine_aug(
+            ga.fwd, _scatter_alpha(ga.slot2edge_fwd, qm),
+            _scatter_alpha(ga.slot2edge_fwd, q),
+            _prep(_ones_aug(h), f_pad_aug),
+            num_heads, feat, exact, interpret)[: ga.n, :hf1]
         nt3 = nt.reshape(-1, num_heads, f1p)
         df1 = (jnp.sum(gN.reshape(-1, num_heads, feat) * nt3[..., :feat],
                        axis=-1) + gl * nt3[..., feat])
-        tt = _run(ga.bwd, ga.rows_sb, ga.cols_sb, ga.slot2edge_bwd, m,
-                  _augx(gN, gl, num_heads, feat), f_pad_aug, aug=True,
-                  want_q=True)[: ga.num_src, :hf1]
+        # df2 via transpose tables
+        tt = _weighted_combine_aug(
+            ga.bwd, _scatter_alpha(ga.slot2edge_bwd, qm),
+            _scatter_alpha(ga.slot2edge_bwd, q),
+            _prep(_augx(gN, gl, num_heads, feat), f_pad_aug),
+            num_heads, feat, exact, interpret)[: ga.num_src, :hf1]
         tt3 = tt.reshape(-1, num_heads, f1p)
         df2 = (jnp.sum(h.astype(jnp.float32).reshape(-1, num_heads, feat)
                        * tt3[..., :feat], axis=-1) + tt3[..., feat])
@@ -458,23 +368,11 @@ def _make_combine(ga: GatherAttn, num_heads: int, feat: int, exact: bool,
             xp = xp.astype(jnp.bfloat16)
         return xp
 
-    oh_plain = _sel_plain(num_heads, feat, f_pad)
-
-    def _alpha_table(alpha):
-        """α [E, H] → [E+1, f_pad] lane-expanded edge table (zero sentinel
-        row) for the slot2edge-routed builder — the explicit-α utility
-        path; the fused attention computes weights slot-direct instead."""
-        az = jnp.concatenate(
-            [alpha.astype(jnp.float32), jnp.zeros((1, alpha.shape[1]),
-                                                  jnp.float32)], axis=0)
-        return _expand_node(az, oh_plain)
-
     @jax.custom_vjp
     def combine(alpha, h):
-        tabs, fn = _wfn_edge_table(_alpha_table(alpha), ga.slot2edge_fwd,
-                                   exact)
-        out = _weighted_combine(ga.fwd, tabs, fn, _prep_x(h), exact,
-                                interpret)
+        aw = _scatter_alpha(ga.slot2edge_fwd, alpha)
+        out = _weighted_combine(ga.fwd, aw, _prep_x(h), num_heads, feat,
+                                exact, interpret)
         return out[: ga.n, :hf]
 
     def combine_fwd(alpha, h):
@@ -484,10 +382,9 @@ def _make_combine(ga: GatherAttn, num_heads: int, feat: int, exact: bool,
         alpha, h = res
         gf = g.astype(jnp.float32)
         # dh = (Aα)ᵀ @ g: same α, transpose tables (edges grouped by src)
-        tabs, fn = _wfn_edge_table(_alpha_table(alpha), ga.slot2edge_bwd,
-                                   exact)
-        dh = _weighted_combine(ga.bwd, tabs, fn, _prep_x(gf), exact,
-                               interpret)[: ga.num_src, :hf]
+        aw_b = _scatter_alpha(ga.slot2edge_bwd, alpha)
+        dh = _weighted_combine(ga.bwd, aw_b, _prep_x(gf), num_heads, feat,
+                               exact, interpret)[: ga.num_src, :hf]
         # dα_e[h] = g[row_e, h·feat:..] · hproj[col_e, h·feat:..] — an
         # edge-major SDDMM: two gathers + per-head contraction
         gg = gf[ga.rows].reshape(ga.num_edges, num_heads, feat)

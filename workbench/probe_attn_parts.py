@@ -101,50 +101,25 @@ def make_fns(precision):
     def combine(ga, alpha, h):
         return pag._make_combine(ga, H, F, exact, False)(alpha, h)
 
-    def _score_run(gs, rows_s, cols_s, x, width, aug, want_q,
-                   f1_, f2_):
-        # the production slot-direct pass: expanded node tables + per-
-        # segment slot gathers (mirrors _make_attention._run, no dropout)
-        oh = (pag._sel_aug_full(H, F, width) if aug
-              else pag._sel_plain(H, F, width))
-        f1f, f2f = f1_.astype(jnp.float32), f2_.astype(jnp.float32)
-        b = f1f + jnp.max(f2f, axis=0, keepdims=True)
-        b = jnp.where(b >= 0, b, 0.2 * b)
-        f1x, f2x, bx = (pag._expand_node(f1f, oh),
-                        pag._expand_node(f2f, oh), pag._expand_node(b, oh))
-
-        def fn(tabs, lo, hi, pad_to):
-            f1x_, f2x_, bx_, rs_all, cs_all = tabs
-            rs = pag._slicepad(rs_all, lo, hi, pad_to)
-            cs = pag._slicepad(cs_all, lo, hi, pad_to)
-            sx = f1x_[rs] + f2x_[cs]
-            zx = jnp.where(sx >= 0, sx, 0.2 * sx) - bx_[rs]
-            px = jnp.exp(jnp.maximum(zx, -60.0))
-            if want_q:
-                px = (jnp.where(sx >= 0, 1.0, 0.2)
-                      * jnp.where(zx > -60.0, px, 0.0))
-            return px
-
-        return pag._weighted_combine(gs, (f1x, f2x, bx, rows_s, cols_s),
-                                     fn, _prep(x, width, exact), exact,
-                                     False)
+    @jax.jit
+    def dh_pass(ga, alpha, g):
+        aw_b = pag._scatter_alpha(ga.slot2edge_bwd, alpha)
+        return pag._weighted_combine(ga.bwd, aw_b, _prep(g, F_PAD, exact),
+                                     H, F, exact, False)
 
     @jax.jit
-    def dh_pass(ga, f1_, f2_, g):
-        return _score_run(ga.bwd, ga.rows_sb, ga.cols_sb, g, F_PAD,
-                          False, False, f1_, f2_)
-
-    @jax.jit
-    def df1_pass(ga, f1_, f2_, h):
+    def df1_pass(ga, alpha, h):
+        aw = pag._scatter_alpha(ga.slot2edge_fwd, alpha)
         xa = pag._augx(h, jnp.ones((h.shape[0], H), jnp.float32), H, F)
-        return _score_run(ga.fwd, ga.rows_sf, ga.cols_sf, xa, F_PAD_AUG,
-                          True, True, f1_, f2_)
+        return pag._weighted_combine_aug(
+            ga.fwd, aw, aw, _prep(xa, F_PAD_AUG, exact), H, F, exact, False)
 
     @jax.jit
-    def df2_pass(ga, f1_, f2_, gN, gl):
+    def df2_pass(ga, alpha, gN, gl):
+        aw = pag._scatter_alpha(ga.slot2edge_bwd, alpha)
         xa = pag._augx(gN, gl, H, F)
-        return _score_run(ga.bwd, ga.rows_sb, ga.cols_sb, xa, F_PAD_AUG,
-                          True, True, f1_, f2_)
+        return pag._weighted_combine_aug(
+            ga.bwd, aw, aw, _prep(xa, F_PAD_AUG, exact), H, F, exact, False)
 
     @jax.jit
     def full_fwd(ga, f1, f2, h):
@@ -165,32 +140,17 @@ def make_fns(precision):
 alpha = jax.block_until_ready(softmax_only(ga, f1, f2))
 print("softmax compiled", flush=True)
 
-# raw random-gather microbench: is the slot-space row gather BYTE-bound
-# (bf16 halves it) or ROW-latency-bound (width-invariant)? This decides
-# whether bf16's halved paper-roofline is actually reachable.
-seg0_cols = ga.fwd.segments[0].cols
-x128_f32 = jnp.pad(h, ((0, 0), (0, 128 - h.shape[1])))
-x128_bf16 = x128_f32.astype(jnp.bfloat16)
-
-
-@jax.jit
-def gather_rows(x, cols):
-    return x[cols]
-
-
 timed = {"softmax_only": lambda: softmax_only(ga, f1, f2),
-         "alpha_fill": lambda: fill_only(ga, alpha_e),
-         "rawgather_f32_128": lambda: gather_rows(x128_f32, seg0_cols),
-         "rawgather_bf16_128": lambda: gather_rows(x128_bf16, seg0_cols)}
+         "alpha_fill": lambda: fill_only(ga, alpha_e)}
 for tag in ("highest", "default"):
     fns = make_fns(tag)
     sfx = "_hi" if tag == "highest" else "_df"
     timed.update({
         f"raw_combine{sfx}": lambda fns=fns: fns["raw_combine"](ga, h),
         f"combine{sfx}": lambda fns=fns: fns["combine"](ga, alpha_e, h),
-        f"dh{sfx}": lambda fns=fns: fns["dh"](ga, f1, f2, gN),
-        f"df1{sfx}": lambda fns=fns: fns["df1"](ga, f1, f2, h),
-        f"df2{sfx}": lambda fns=fns: fns["df2"](ga, f1, f2, gN, gl),
+        f"dh{sfx}": lambda fns=fns: fns["dh"](ga, alpha_e, gN),
+        f"df1{sfx}": lambda fns=fns: fns["df1"](ga, alpha_e, h),
+        f"df2{sfx}": lambda fns=fns: fns["df2"](ga, alpha_e, gN, gl),
         f"full_fwd{sfx}": lambda fns=fns: fns["full_fwd"](ga, f1, f2, h),
         f"full_fwdbwd{sfx}":
             lambda fns=fns: fns["full_fwdbwd"](ga, f1, f2, h),

@@ -24,14 +24,19 @@ from bench import build_graph, interleaved_timeit
 
 
 def _expand_edge(w_e, H, F, f_pad, exact):
-    # the round-5 v2 edge-table expansion this probe was built to measure
-    # (since superseded by the slot-direct path in pallas_attention_gather)
-    import h2gcn_tpu.sparse.pallas_attention_gather as _pag
-
+    # the round-5 v2 edge-table MXU one-hot expansion this probe measured
+    # (one of the superseded weight-delivery designs — see BENCHMARKS.md
+    # "alpha-delivery floor study"); self-contained here
+    lanes = np.arange(f_pad)
+    oh = (((lanes[None, :] // F) == np.arange(H)[:, None])
+          & (lanes[None, :] < H * F)).astype(np.float32)
     az = jnp.concatenate(
         [w_e.astype(jnp.float32), jnp.zeros((1, w_e.shape[1]),
                                             jnp.float32)], axis=0)
-    return _pag._expand_node(az, _pag._sel_plain(H, F, f_pad))
+    import jax as _jax
+
+    return jnp.dot(az, jnp.asarray(oh),
+                   precision=_jax.lax.Precision.HIGHEST)
 from h2gcn_tpu.sparse import transforms
 from h2gcn_tpu.sparse import pallas_attention_gather as pag
 
