@@ -63,7 +63,9 @@ def tpu_scale_rows():
     out = {"n": N, "m_edges": M, "nnz": int(A.nnz), "dmax": dmax,
            "features": F, "hid": 128, "times_ms": {}}
     timed = {}
-    for tag, samples in (("sampled_5_5", (5, 5)), ("full_neighbor", (0, 0))):
+    for tag, samples in (("sampled_5_5", (5, 5)),
+                         ("sampled_25_10", (25, 10)),
+                         ("full_neighbor", (0, 0))):
         model = GraphSAGENetwork(C, hid_units=128, num_samples=samples)
         params = model.init(jax.random.PRNGKey(0), F)
         tx = optax.sgd(0.7)  # reference lr, model.py:114
@@ -96,21 +98,36 @@ def tpu_scale_rows():
         timed[f"fwd_{tag}"] = (
             lambda fwd=fwd, params=params, key=key: fwd(params, key, ell, x))
         if samples[0]:
-            timed["sample_stage_only"] = (
+            timed[f"sample_stage_only_k{samples[0]}"] = (
                 lambda sample_only=sample_only, key=key:
                     sample_only(key, ell, x))
 
+    ok = {}
     for nm, fn in timed.items():
         t0 = time.time()
-        jax.block_until_ready(fn())
-        print(f"{nm} compiled+ran in {time.time() - t0:.1f}s", flush=True)
-    res = interleaved_timeit(timed, rounds=3, iters=3, warmup=1)
+        try:
+            jax.block_until_ready(fn())
+            ok[nm] = fn
+            print(f"{nm} compiled+ran in {time.time() - t0:.1f}s",
+                  flush=True)
+        except Exception as e:  # noqa: BLE001 — per-mode OOM recorded
+            # full-neighbor on a power-law graph wants an [N·dmax, F]
+            # gather (dmax=4165 here → 256GB): the ELL design is for
+            # bounded fan-out — the reference's own operating point
+            # (model.py samples 5/5); at-scale full-neighbor aggregation
+            # is the SpMM ladder's job, not GraphSAGE's
+            out["times_ms"][nm] = f"error: {type(e).__name__}: {str(e)[:160]}"
+            print(f"{nm}: {type(e).__name__}: {str(e)[:160]}", flush=True)
+    res = interleaved_timeit(ok, rounds=3, iters=3, warmup=1)
     for k, (t, _) in res.items():
         out["times_ms"][k] = round(t * 1e3, 2)
-    # edges/s: sampled mode touches ≤ (5+5)·N edges per step, full mode
-    # all nnz per layer ×2 layers
-    t_full = res["train_full_neighbor"][0]
-    out["full_neighbor_train_edges_per_s"] = round(2 * A.nnz / t_full)
+    if "train_full_neighbor" in res:
+        out["full_neighbor_train_edges_per_s"] = round(
+            2 * A.nnz / res["train_full_neighbor"][0])
+    if "train_sampled_5_5" in res:
+        # sampled mode touches ≤ (5+5)·N edges per step
+        out["sampled_5_5_train_sampled_edges_per_s"] = round(
+            10 * N / res["train_sampled_5_5"][0])
     print(json.dumps(out, indent=1), flush=True)
     return out
 
