@@ -33,11 +33,20 @@ from . import _runtime
 @struct.dataclass
 class ELLGraph:
     """Padded ELL neighbor table — flows through jitted steps as an argument
-    (not a model-held constant) via the ``adj`` tensor slot."""
+    (not a model-held constant) via the ``adj`` tensor slot.
+
+    ``mean_adj`` / ``mean_adj_gcn`` are optional row-normalized sparse
+    matrices (``D⁻¹A`` / ``D'⁻¹(A+I)``) carrying the FULL-NEIGHBOR mean
+    through the SpMM ladder: on skewed graphs the ELL formulation of
+    full-neighbor aggregation materializes an [N·Dmax, F] gather (256GB
+    at 120K/dmax=4165 — measured infeasible, docs/bench_graphsage.json),
+    while the same mean as ``D⁻¹A·x`` is one SpMM at any scale."""
 
     table: jax.Array  # [N, Dmax] int32 neighbor ids
     valid: jax.Array  # [N, Dmax] bool
     nnz: int = struct.field(pytree_node=False)
+    mean_adj: object = None        # SparseMatrix D⁻¹A or None
+    mean_adj_gcn: object = None    # SparseMatrix D'⁻¹(A+I) or None
 
     @property
     def shape(self):
@@ -104,7 +113,19 @@ class GraphSAGENetwork:
     # ---------------------------------------------------------------- layers
     def _sampled_mean(self, ell, feats, key, num_sample):
         """Mean of ≤``num_sample`` uniformly-sampled (w/o replacement)
-        neighbors per node; nodes with fewer neighbors use all of them."""
+        neighbors per node; nodes with fewer neighbors use all of them.
+        Full-neighbor mode (``num_sample`` ≤ 0 / ≥ dmax) rides the SpMM
+        ladder when the row-normalized matrix is attached — identical
+        math (``D⁻¹A·x``; zero-degree rows → 0 both ways) without the
+        [N·Dmax, F] ELL gather that explodes on skewed graphs."""
+        eff_dmax = ell.table.shape[1] + (1 if self.gcn_aggregator else 0)
+        full = num_sample is None or num_sample <= 0 \
+            or num_sample >= eff_dmax
+        madj = ell.mean_adj_gcn if self.gcn_aggregator else ell.mean_adj
+        if full and madj is not None:
+            from ..sparse.matrix import spmm
+
+            return spmm(madj, feats)
         table, valid = ell.table, ell.valid
         if self.gcn_aggregator:
             self_col = jnp.arange(table.shape[0], dtype=table.dtype)[:, None]
@@ -184,13 +205,41 @@ def add_subparser_args(parser):
     parser.function_hooks["argparse"].append(argparse_callback)
 
 
+def build_mean_adjacencies(adj_csr, *, gcn: bool, backend: str = "auto"):
+    """Row-normalized full-neighbor mean operators for :class:`ELLGraph`
+    (``D⁻¹A`` and, for the GCN aggregator, ``D'⁻¹(A+I)``) on the shared
+    SpMM ladder. Zero-degree rows stay all-zero (mean of nothing = 0,
+    matching the ELL path's max(count, 1) guard)."""
+    import scipy.sparse as sp
+
+    from ..sparse import SparseMatrix
+
+    a = sp.csr_matrix(adj_csr).astype(np.float32)
+    if gcn:
+        a = a + sp.eye(a.shape[0], format="csr", dtype=np.float32)
+    deg = np.asarray(a.sum(axis=1)).ravel()
+    inv = np.where(deg > 0, 1.0 / np.maximum(deg, 1), 0.0)
+    return SparseMatrix.from_scipy(
+        sp.diags(inv) @ a, backend=backend)
+
+
 def argparse_callback(args):
     dataset = args.objects["dataset"]
     tensors = dataset.get_tensors(backend="segment")
     tensors.adj_hops = []
     # the ELL neighbor table rides the adj tensor slot into the jitted steps
     table, valid = build_neighbor_table(dataset.sparse_adj.tocsr())
+    # full-neighbor fan-outs (0) aggregate through the SpMM ladder — the
+    # ELL gather for full neighborhoods explodes on skewed graphs
+    mean_adj = mean_adj_gcn = None
+    if any(s <= 0 for s in args.num_samples):
+        mean_adj = build_mean_adjacencies(
+            dataset.sparse_adj, gcn=False)
+        if args.gcn_aggregator:
+            mean_adj_gcn = build_mean_adjacencies(
+                dataset.sparse_adj, gcn=True)
     tensors.adj = ELLGraph(table=table, valid=valid,
+                           mean_adj=mean_adj, mean_adj_gcn=mean_adj_gcn,
                            nnz=int(dataset.sparse_adj.nnz))
     args.objects["tensors"] = vars(tensors)
 

@@ -139,3 +139,47 @@ def test_training_dynamics_match_reference_torch(case):
             np.asarray(params[ours_key]), npz[f"weights_after/{ref_key}"].T,
             rtol=1e-3, atol=2e-5,
             err_msg=f"post-training weight {ref_key} diverges")
+
+
+def test_full_neighbor_spmm_route_matches_ell():
+    """Full-neighbor mean through the SpMM ladder (mean_adj attached) ==
+    the ELL-gather full-neighbor mean, for both aggregators — the
+    round-5 fix that makes full-neighbor feasible on skewed graphs (the
+    ELL formulation wants an [N·Dmax, F] gather, 256GB at 120K/dmax=4165,
+    docs/bench_graphsage.json)."""
+    import jax
+
+    from h2gcn_tpu.models.GRAPHSAGE import build_mean_adjacencies
+
+    rng = np.random.default_rng(0)
+    n, f = 150, 24
+    A = sp.random(n, n, density=0.05, random_state=1, format="csr")
+    A = ((A + A.T) > 0).astype(np.float32)
+    A = A.tolil()
+    A[10, :] = 0  # zero-degree row: mean of nothing must stay 0
+    A[:, 10] = 0
+    A = A.tocsr()
+    A.eliminate_zeros()
+    table, valid = build_neighbor_table(A)
+    x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+
+    for gcn in (False, True):
+        model = GraphSAGENetwork(5, num_samples=(0, 0),
+                                 gcn_aggregator=gcn)
+        ell_plain = ELLGraph(table=table, valid=valid, nnz=int(A.nnz))
+        ell_spmm = ELLGraph(
+            table=table, valid=valid, nnz=int(A.nnz),
+            mean_adj=build_mean_adjacencies(A, gcn=False),
+            mean_adj_gcn=build_mean_adjacencies(A, gcn=True))
+        ref = model._sampled_mean(ell_plain, x, key, 0)
+        got = model._sampled_mean(ell_spmm, x, key, 0)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=f"gcn={gcn}")
+        # the full apply agrees end to end
+        params = model.init(jax.random.PRNGKey(1), f)
+        o1 = model.apply(params, ell_plain, x, [], rng=key)
+        o2 = model.apply(params, ell_spmm, x, [], rng=key)
+        np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
+                                   rtol=1e-5, atol=1e-5)

@@ -47,11 +47,18 @@ F, C = 128, 7
 def tpu_scale_rows():
     float(jnp.zeros(()))  # readback warm-up
     print(f"backend={jax.default_backend()} n={N} m={M}", flush=True)
+    from h2gcn_tpu.models.GRAPHSAGE import build_mean_adjacencies
+
     A = build_graph(N, M, seed=0)
     table, valid = build_neighbor_table(A.tocsr())
-    ell = ELLGraph(table=table, valid=valid, nnz=int(A.nnz))
+    # full-neighbor mode rides the SpMM ladder (round-5 fix: the ELL
+    # gather for full neighborhoods wanted 256GB at this skew)
+    ell = ELLGraph(table=table, valid=valid,
+                   mean_adj=build_mean_adjacencies(A, gcn=False),
+                   nnz=int(A.nnz))
     dmax = int(table.shape[1])
-    print(f"ELL table: dmax={dmax}, {table.nbytes / 1e6:.0f}MB", flush=True)
+    print(f"ELL table: dmax={dmax}, {table.nbytes / 1e6:.0f}MB; "
+          f"mean_adj backend={ell.mean_adj.backend}", flush=True)
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((N, F)).astype(np.float32))
