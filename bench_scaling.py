@@ -28,7 +28,13 @@ def main():
     parser.add_argument("--edges", type=int, default=60_000)
     parser.add_argument("--platform", default=None)
     parser.add_argument("--modes", nargs="*",
-                        default=["ring", "allgather", "halo"])
+                        default=["ring", "allgather", "halo"],
+                        help="halo modes and/or 'gat' (dest-stripe "
+                             "distributed gather attention)")
+    parser.add_argument("--gat_n", type=int, default=2000,
+                        help="graph size for the gat mode (its Pallas "
+                             "kernel runs INTERPRET mode on CPU meshes — "
+                             "keep small there; raise on real chips)")
     parser.add_argument("--out", default=None,
                         help="also write the report JSON to this path")
     args = parser.parse_args()
@@ -55,7 +61,65 @@ def main():
               "n": args.n, "nnz": int(nnz_total), "modes": {}}
 
     shard_counts = [s for s in (1, 2, 4, 8, 16) if s <= n_dev]
+
+    def gat_mode():
+        """Distributed dest-stripe gather attention (parallel/attention.py)
+        per mesh size: one full 8×8-head fused layer incl. the [f2|h]
+        boundary all_to_all."""
+        import scipy.sparse as sp
+
+        from h2gcn_tpu.parallel import attention as pattn
+        from h2gcn_tpu.sparse.pallas_attention_gather import (
+            gat_attention_gather)
+
+        H, F = 8, 8
+        ng = args.gat_n
+        Ag = build_graph(ng, 6 * ng)
+        support = ((Ag + sp.eye(ng)) > 0).astype(np.float32)
+        interpret = jax.default_backend() not in ("tpu", "gpu")
+        per = {}
+        for p in shard_counts:
+            mesh = pmesh.make_mesh(p)
+            dga, n_pad = pattn.shard_attention_gather(support, p)
+            sharding = NamedSharding(mesh, P("graph"))
+            f1 = jax.device_put(jnp.asarray(dist.pad_nodes(
+                rng.standard_normal((ng, H)).astype(np.float32), n_pad)),
+                sharding)
+            f2 = jax.device_put(jnp.asarray(dist.pad_nodes(
+                rng.standard_normal((ng, H)).astype(np.float32), n_pad)),
+                sharding)
+            h = jax.device_put(jnp.asarray(dist.pad_nodes(
+                rng.standard_normal((ng, H * F)).astype(np.float32),
+                n_pad)), sharding)
+
+            def body(f1l, f2l, hl, dg):
+                sh = dg.local()
+                cat = pattn.halo_concat(
+                    sh, jnp.concatenate([f2l, hl], axis=1))
+                return gat_attention_gather(
+                    sh.attn, f1l, cat[:, :H], cat[:, H:], num_heads=H,
+                    feat=F, n_out=sh.n_local, interpret=interpret)
+
+            fn = jax.jit(jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(P("graph"),) * 3
+                + (jax.tree_util.tree_map(lambda _: P("graph"), dga),),
+                out_specs=P("graph"), check_vma=False,
+            ))
+            t = timeit(lambda: fn(f1, f2, h, dga), warmup=2, iters=5)
+            per[p] = dict(time_s=t, edges_per_s=support.nnz / t)
+        base = per[shard_counts[0]]["edges_per_s"]
+        for p in shard_counts:
+            per[p]["scaling_efficiency"] = (
+                per[p]["edges_per_s"] / (base * p / shard_counts[0]))
+        per["n"] = ng
+        per["nnz"] = int(support.nnz)
+        return per
+
     for mode in args.modes:
+        if mode == "gat":
+            report["modes"]["gat"] = gat_mode()
+            continue
         per_mode = {}
         for p in shard_counts:
             mesh = pmesh.make_mesh(p)
