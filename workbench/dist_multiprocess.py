@@ -36,8 +36,91 @@ REPO = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
+def run_gat_steps(num_steps: int, seed: int = 0, n: int = 96,
+                  m_edges: int = None, time_steps: int = 0):
+    """Distributed GAT (dest-stripe gather attention) over whatever
+    device/process topology this process sees — the attention
+    all_to_all and its VJP transpose cross REAL process boundaries
+    (round-5: the strongest evidence class, previously H2GCN-only).
+    Returns (losses, acc, step_times)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    import scipy.sparse as sp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from h2gcn_tpu.parallel import attention as pattn, train as ptrain
+    from h2gcn_tpu.parallel.dist import pad_nodes
+    from h2gcn_tpu.parallel.mesh import make_mesh
+
+    f, c = 24, 5
+    rng = np.random.default_rng(seed)
+    me = m_edges or 6 * n
+    r = rng.integers(0, n, me)
+    cc = rng.integers(0, n, me)
+    A = sp.csr_matrix((np.ones(me, np.float32), (r, cc)), shape=(n, n))
+    support = ((A + A.T + sp.eye(n)) > 0).astype(np.float32)
+
+    mesh = make_mesh()
+    D = jax.device_count()
+    dga, n_pad = pattn.shard_attention_gather(support, D)
+
+    x = pad_nodes(rng.standard_normal((n, f)).astype(np.float32), n_pad)
+    y = np.zeros((n, c), np.float32)
+    y[np.arange(n), rng.integers(0, c, n)] = 1
+    y = pad_nodes(y, n_pad)
+    mask = pad_nodes((rng.random(n) < 0.5), n_pad)
+
+    model = pattn.DistGATNetwork(c, hid_units=[8], n_heads=[2, 1],
+                                 in_drop=0.0, attn_drop=0.0)
+    params = model.init(jax.random.PRNGKey(seed), f)
+    tx = optax.adam(0.005, eps=1e-7)
+    opt_state = tx.init(params)
+
+    def to_global(spec):
+        sharding = NamedSharding(mesh, spec)
+
+        def conv(arr):
+            a = np.asarray(arr)
+            return jax.make_array_from_callback(
+                a.shape, sharding, lambda idx: a[idx])
+
+        return conv
+
+    dga = jax.tree_util.tree_map(to_global(P("graph")), dga)
+    xd = to_global(P("graph"))(x)
+    yd = to_global(P("graph"))(y)
+    md = to_global(P("graph"))(mask)
+    params = jax.tree_util.tree_map(to_global(P()), params)
+    opt_state = jax.tree_util.tree_map(to_global(P()), opt_state)
+
+    train_step, eval_step = ptrain.build_dist_steps(model, tx, mesh, [dga])
+    losses = []
+    for step in range(num_steps):
+        key = to_global(P())(jax.random.PRNGKey(1000 + step))
+        params, opt_state, loss = train_step(params, opt_state, key,
+                                             xd, yd, md)
+        losses.append(float(loss))
+    step_times = []
+    for step in range(time_steps):
+        key = to_global(P())(jax.random.PRNGKey(5000 + step))
+        t0 = time.perf_counter()
+        params, opt_state, loss = train_step(params, opt_state, key,
+                                             xd, yd, md)
+        float(loss)
+        step_times.append(round(time.perf_counter() - t0, 4))
+    metrics = eval_step(params, xd, yd, md)
+    return losses, float(metrics["acc"]), step_times
+
+
 def run_steps(num_steps: int, mode: str, seed: int = 0, n: int = 96,
               m_edges: int = None, time_steps: int = 0):
+    if mode == "gat":
+        return run_gat_steps(num_steps, seed=seed, n=n, m_edges=m_edges,
+                             time_steps=time_steps)
     """Build + run the distributed program on whatever device/process
     topology this process sees. Returns (losses per step, final acc,
     per-step wall times). ``n``/``m_edges`` scale the graph (VERDICT r4
