@@ -101,6 +101,27 @@ def test_dist_attention_train_step_matches_single_chip(problem):
                                    atol=1e-5)
 
 
+def test_dist_attention_residual_matches_single_chip(problem):
+    """The residual variant (learned 1x1 projection when dims differ,
+    reference utils/layers.py:94-99) composes with the sharded layer."""
+    p = problem
+    mesh = make_mesh(8)
+    single, dist_m, params = _models(p, residual=True)
+    assert any("Wres" in h for layer in params["layers"] for h in layer)
+
+    dga, n_pad = pattn.shard_attention_gather(p["support"], 8)
+    train_step, _ = ptrain.build_dist_steps(
+        dist_m, optax.sgd(0.1), mesh, [dga])
+    shard = NamedSharding(mesh, P("graph"))
+    xd = jax.device_put(jnp.asarray(dist.pad_nodes(p["x"], n_pad)), shard)
+    logits = np.asarray(train_step.logits(params, xd))[: p["n"]]
+
+    adj = build_gat_adjacency(p["support"], fused_attention=True,
+                              attn_impl="gather")
+    ref = np.asarray(single.apply(params, adj, jnp.asarray(p["x"]), []))
+    np.testing.assert_allclose(logits, ref, rtol=1e-5, atol=1e-5)
+
+
 def test_dist_attention_dropout_trains(problem):
     """Full dropout (input + attention-coefficient) composes with the
     sharded attention: finite decreasing-ish loss over a few steps."""

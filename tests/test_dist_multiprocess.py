@@ -31,3 +31,24 @@ def test_multiprocess_distributed_parity(tmp_path):
     assert report["multi_process"]["process_count"] == 2
     assert report["multi_process"]["device_count"] == 4
     assert report["max_abs_loss_delta"] < 1e-5
+
+
+@pytest.mark.slow
+def test_multiprocess_distributed_gat_parity(tmp_path):
+    """Distributed GAT (dest-stripe gather attention) across a REAL
+    process boundary: the [f2|h] all_to_all and its VJP transpose ride
+    the jax.distributed runtime; loss/accuracy parity vs a single-process
+    equal-size mesh (round-5 evidence for the newest parallel mode)."""
+    out = tmp_path / "dist_mp_gat.json"
+    r = subprocess.run(
+        [sys.executable, "-u",
+         str(REPO / "workbench" / "dist_multiprocess.py"),
+         "--nproc", "2", "--devices_per_proc", "2", "--steps", "2",
+         "--n", "256", "--m_edges", "1536",
+         "--mode", "gat", "--out", str(out)],
+        capture_output=True, timeout=900)
+    assert r.returncode == 0, r.stdout.decode() + r.stderr.decode()
+    report = json.loads(out.read_text())
+    assert report["parity"] is True
+    assert report["multi_process"]["process_count"] == 2
+    assert report["max_abs_loss_delta"] < 1e-5
