@@ -132,8 +132,12 @@ def build_gscatter_coo(row, col, data, shape, tile: int = 512,
     n_rb = -(-n // tile)
     if max_steps is None:
         max_steps = _MAX_STEPS
-    # group key = tile row (stable: preserves caller's within-row order)
-    order = np.argsort(np.asarray(row) // tile, kind="stable")
+    # group key = tile row; within each 512-row dest stripe edges are
+    # sorted by SOURCE column — legal because the kernel's row one-hot
+    # handles arbitrary tile-local rows per chunk (only the stripe is
+    # fixed per grid step), and it makes the x row-gather stream
+    # MONOTONIC per stripe instead of row-major-interleaved
+    order = np.lexsort((np.asarray(col), np.asarray(row) // tile))
     r = np.asarray(row)[order].astype(np.int64)
     c = np.asarray(col)[order].astype(np.int64)
     v = np.asarray(data)[order].astype(np.float32)
